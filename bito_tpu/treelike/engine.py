@@ -1,0 +1,105 @@
+"""Tree-batch likelihood engine (the Engine/FatBeagle replacement).
+
+Reference: src/engine.cpp:27-119 dispatches per-tree work to a pool of
+FatBeagles; here one jitted XLA program evaluates the whole batch, with
+per-tree phylogenetic model parameter rows (the analog of
+FatBeagleParallelize's per-tree SetParameters, src/fat_beagle.hpp:151-184).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.site_pattern import SitePattern
+from ..core.tree import Tree, TreeCollection
+from ..models.phylo_model import PhyloModel, PhyloModelSpecification
+from . import pruning
+from .encode import TreeBatchEncoding, encode_trees
+
+
+class TreeLikelihoodEngine:
+    """Batched likelihood/gradient evaluation for a fixed tree batch.
+
+    The encoding is rebuilt when topologies change; branch lengths and model
+    parameters are plain device arrays, so sweeps over them stay jitted.
+    """
+
+    def __init__(
+        self,
+        site_pattern: SitePattern,
+        model: PhyloModel,
+        dtype=None,
+    ):
+        self.site_pattern = site_pattern
+        self.model = model
+        self.dtype = dtype or jnp.zeros(0).dtype
+        S0 = site_pattern.pattern_count
+        self.pattern_pad = pruning.pad_patterns(S0)
+        self.tip_partials = jnp.asarray(
+            site_pattern.tip_partials(), dtype=self.dtype
+        )
+        w = np.zeros(self.pattern_pad)
+        w[:S0] = site_pattern.weights
+        self.weights = jnp.asarray(w, dtype=self.dtype)
+        self._encoding: Optional[TreeBatchEncoding] = None
+        self._encoding_key = None
+
+    # -- encoding cache -------------------------------------------------
+    def encode(self, trees: Sequence[Tree]) -> TreeBatchEncoding:
+        key = tuple(t.topology.key() for t in trees)
+        if key != self._encoding_key:
+            self._encoding = encode_trees([t.topology for t in trees])
+            self._encoding_key = key
+        return self._encoding
+
+    def branch_length_matrix(self, trees: Sequence[Tree],
+                             enc: TreeBatchEncoding) -> jnp.ndarray:
+        bl = np.zeros((len(trees), enc.num_slots))
+        for b, t in enumerate(trees):
+            bl[b, : t.topology.num_nodes] = t.branch_lengths
+        return jnp.asarray(bl, dtype=self.dtype)
+
+    def _model_ingredients(self, params: Dict[str, jnp.ndarray]):
+        eig = self.model.eigen(params)
+        rates = self.model.category_rates(params).astype(self.dtype)
+        props = self.model.category_proportions(params).astype(self.dtype)
+        clock = jnp.asarray(self.model.clock_rate(params), dtype=self.dtype)
+        eig = type(eig)(*(jnp.asarray(x, dtype=self.dtype) for x in eig))
+        return eig, rates, props, clock
+
+    # -- public API ------------------------------------------------------
+    def log_likelihoods(
+        self, trees: Sequence[Tree], params: Dict[str, jnp.ndarray],
+        branch_lengths: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        enc = self.encode(trees)
+        bl = (branch_lengths if branch_lengths is not None
+              else self.branch_length_matrix(trees, enc))
+        eig, rates, props, clock = self._model_ingredients(params)
+        return pruning.log_likelihoods_impl(
+            jnp.asarray(enc.post_ops), jnp.asarray(enc.root),
+            self.tip_partials, self.weights, bl,
+            eig, rates, props, clock,
+            num_slots=enc.num_slots, pattern_pad=self.pattern_pad,
+            category_count=self.model.category_count,
+        )
+
+    def ll_and_branch_gradients(
+        self, trees: Sequence[Tree], params: Dict[str, jnp.ndarray],
+        branch_lengths: Optional[jnp.ndarray] = None,
+    ):
+        enc = self.encode(trees)
+        bl = (branch_lengths if branch_lengths is not None
+              else self.branch_length_matrix(trees, enc))
+        eig, rates, props, clock = self._model_ingredients(params)
+        return pruning.ll_and_branch_gradients_impl(
+            jnp.asarray(enc.post_ops), jnp.asarray(enc.pre_ops),
+            jnp.asarray(enc.root), jnp.asarray(enc.edge_mask, dtype=self.dtype),
+            self.tip_partials, self.weights, bl,
+            eig, rates, props, clock,
+            num_slots=enc.num_slots, pattern_pad=self.pattern_pad,
+            category_count=self.model.category_count,
+        )
