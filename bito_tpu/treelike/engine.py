@@ -62,13 +62,32 @@ class TreeLikelihoodEngine:
             bl[b, : t.topology.num_nodes] = t.branch_lengths
         return jnp.asarray(bl, dtype=self.dtype)
 
-    def _model_ingredients(self, params: Dict[str, jnp.ndarray]):
-        eig = self.model.eigen(params)
-        rates = self.model.category_rates(params).astype(self.dtype)
-        props = self.model.category_proportions(params).astype(self.dtype)
-        clock = jnp.asarray(self.model.clock_rate(params), dtype=self.dtype)
-        eig = type(eig)(*(jnp.asarray(x, dtype=self.dtype) for x in eig))
-        return eig, rates, props, clock
+    def _model_ingredients(self, params: Dict[str, jnp.ndarray], batch: int):
+        """Per-tree model ingredients (eig fields [B,...], rates/props [B,C],
+        clock [B]).  `params` values may be shared (unbatched) or carry a
+        leading per-tree axis (the reference's phylo_model_params_ matrix,
+        src/generic_sbn_instance.hpp:32-40)."""
+
+        def one(p):
+            eig = self.model.eigen(p)
+            eig = type(eig)(*(jnp.asarray(x, dtype=self.dtype) for x in eig))
+            rates = self.model.category_rates(p).astype(self.dtype)
+            props = self.model.category_proportions(p).astype(self.dtype)
+            clock = jnp.asarray(self.model.clock_rate(p), dtype=self.dtype)
+            return eig, rates, props, clock
+
+        batched = {}
+        for key, (start, length) in self.model.blocks.items():
+            v = jnp.asarray(params[key])
+            if v.ndim == 1:
+                v = jnp.broadcast_to(v, (batch, length))
+            batched[key] = v
+        if not batched:
+            eig, rates, props, clock = one({})
+            bcast = lambda x: jnp.broadcast_to(x, (batch,) + x.shape)
+            return (type(eig)(*(bcast(x) for x in eig)), bcast(rates),
+                    bcast(props), bcast(clock))
+        return jax.vmap(one)(batched)
 
     # -- public API ------------------------------------------------------
     def log_likelihoods(
@@ -78,7 +97,7 @@ class TreeLikelihoodEngine:
         enc = self.encode(trees)
         bl = (branch_lengths if branch_lengths is not None
               else self.branch_length_matrix(trees, enc))
-        eig, rates, props, clock = self._model_ingredients(params)
+        eig, rates, props, clock = self._model_ingredients(params, len(trees))
         return pruning.log_likelihoods_impl(
             jnp.asarray(enc.post_ops), jnp.asarray(enc.root),
             self.tip_partials, self.weights, bl,
@@ -94,7 +113,7 @@ class TreeLikelihoodEngine:
         enc = self.encode(trees)
         bl = (branch_lengths if branch_lengths is not None
               else self.branch_length_matrix(trees, enc))
-        eig, rates, props, clock = self._model_ingredients(params)
+        eig, rates, props, clock = self._model_ingredients(params, len(trees))
         return pruning.ll_and_branch_gradients_impl(
             jnp.asarray(enc.post_ops), jnp.asarray(enc.pre_ops),
             jnp.asarray(enc.root), jnp.asarray(enc.edge_mask, dtype=self.dtype),

@@ -45,17 +45,26 @@ def _evolve_t(P_row, o_row):
 
 def transition_matrices_ext(
     eig: EigenDecomp, branch_lengths: jnp.ndarray, category_rates: jnp.ndarray,
-    clock_rate: jnp.ndarray = 1.0, derivative: bool = False,
+    clock_rate: jnp.ndarray, derivative: bool = False,
 ) -> jnp.ndarray:
     """[B, N] branch lengths -> [B, N+1, C, A, A] transition matrices with an
-    identity (or zero, for derivatives) appended at index N."""
-    t = branch_lengths[..., None] * category_rates * clock_rate  # [B, N, C]
-    fn = transition_derivatives if derivative else transition_matrices
-    P = fn(eig, t)  # [B, N, C, A, A]
-    if derivative:
-        # Chain rule: transition_derivatives gives dP/d(tau) with
-        # tau = bl * rate_c * clock; fold in d(tau)/d(bl) so rows are dP/d(bl).
-        P = P * (category_rates * clock_rate)[None, None, :, None, None]
+    identity (or zero, for derivatives) appended at index N.
+
+    All model ingredients are per-tree batched (the analog of the reference's
+    per-tree phylo_model_params_ rows, src/fat_beagle.hpp:151-184):
+    eig fields lead with B, category_rates is [B, C], clock_rate is [B]."""
+
+    def one(eig_b, bl_b, rates_b, clock_b):
+        t = bl_b[:, None] * rates_b * clock_b  # [N, C]
+        fn = transition_derivatives if derivative else transition_matrices
+        P = fn(eig_b, t)  # [N, C, A, A]
+        if derivative:
+            # Chain rule: transition_derivatives gives dP/d(tau) with
+            # tau = bl*rate_c*clock; fold in d(tau)/d(bl).
+            P = P * (rates_b * clock_b)[None, :, None, None]
+        return P
+
+    P = jax.vmap(one)(eig, branch_lengths, category_rates, clock_rate)
     B, _, C, A, _ = P.shape
     pad = jnp.zeros((B, 1, C, A, A), P.dtype)
     if not derivative:
@@ -124,16 +133,17 @@ def root_log_likelihood(
     pi: jnp.ndarray, category_proportions: jnp.ndarray,
 ) -> jnp.ndarray:
     """Per-(tree, pattern) log likelihood at the root (the batched
-    beagleCalculateRootLogLikelihoods, reference src/fat_beagle.cpp:60-69)."""
+    beagleCalculateRootLogLikelihoods, reference src/fat_beagle.cpp:60-69).
+    pi: [B, A]; category_proportions: [B, C]."""
 
-    def one(buf_b, logs_b, root_b):
+    def one(buf_b, logs_b, root_b, pi_b, props_b):
         pr = buf_b[root_b]            # [C, A, S]
         site = jnp.einsum(
-            "c,a,cas->s", category_proportions, pi, pr, precision=Precision
+            "c,a,cas->s", props_b, pi_b, pr, precision=Precision
         )
         return jnp.log(site) + logs_b[root_b]
 
-    return jax.vmap(one)(partials, logscale, root)  # [B, S]
+    return jax.vmap(one)(partials, logscale, root, pi, category_proportions)
 
 
 def preorder_pass(
@@ -154,13 +164,14 @@ def preorder_pass(
     B, N1, C, A, S = partials.shape
     outside = jnp.zeros_like(partials)
     upper = jnp.zeros_like(partials)
-    # upper[root] = pi broadcast.
-    pi_block = jnp.broadcast_to(pi[None, :, None], (C, A, S)).astype(partials.dtype)
 
-    def seed(up_b, root_b):
+    def seed(up_b, root_b, pi_b):
+        pi_block = jnp.broadcast_to(
+            pi_b[None, :, None], (C, A, S)
+        ).astype(up_b.dtype)
         return up_b.at[root_b].set(pi_block)
 
-    upper = jax.vmap(seed)(upper, root)
+    upper = jax.vmap(seed)(upper, root, pi)
 
     def step(carry, ops):
         out, up = carry
@@ -209,9 +220,9 @@ def branch_length_gradients(
     p = partials[:, :N]
     evolved = jnp.einsum("tncab,tncbs->tncas", P[:, :N], p, precision=Precision)
     devolved = jnp.einsum("tncab,tncbs->tncas", dP[:, :N], p, precision=Precision)
-    den = jnp.einsum("c,tncas->tns", category_proportions, o * evolved,
+    den = jnp.einsum("tc,tncas->tns", category_proportions, o * evolved,
                      precision=Precision)
-    num = jnp.einsum("c,tncas->tns", category_proportions, o * devolved,
+    num = jnp.einsum("tc,tncas->tns", category_proportions, o * devolved,
                      precision=Precision)
     ratio = num / jnp.where(den > 0, den, 1.0)
     grad = jnp.einsum("s,tns->tn", weights, ratio, precision=Precision)
