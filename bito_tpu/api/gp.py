@@ -1,0 +1,169 @@
+"""GPInstance facade mirroring bito.gp_instance.
+
+TPU-native rebuild of the reference GPInstance
+(reference: src/gp_instance.cpp:119-908, bound in src/pybito.cpp:700-990).
+The mmap-file constructor argument is accepted and ignored: PLVs live in
+device memory (HBM on TPU), not on disk.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core.newick import parse_newick_file, parse_nexus_file, read_fasta
+from ..core.site_pattern import SitePattern
+from ..core.tree import Topology, Tree, TreeCollection
+from ..dag.subsplit_dag import SubsplitDAG, build_dag
+from ..gp.engine import GPEngine
+
+
+class GPInstance:
+    def __init__(self, mmap_file_path: str = "", name: str = "gp_instance"):
+        self.name = name
+        self.tree_collection: Optional[TreeCollection] = None
+        self.alignment: Dict[str, str] = {}
+        self.dag: Optional[SubsplitDAG] = None
+        self.engine: Optional[GPEngine] = None
+
+    # -- io ---------------------------------------------------------------
+    def read_newick_file(self, path: str):
+        self.tree_collection = parse_newick_file(path)
+
+    def read_nexus_file(self, path: str):
+        self.tree_collection = parse_nexus_file(path)
+
+    def read_fasta_file(self, path: str):
+        self.alignment = read_fasta(path)
+
+    def tree_count(self) -> int:
+        return len(self.tree_collection) if self.tree_collection else 0
+
+    # -- DAG and engines --------------------------------------------------
+    def make_dag(self):
+        assert self.tree_collection is not None, "Load trees first"
+        self.dag = build_dag(self.tree_collection)
+
+    def get_dag(self) -> SubsplitDAG:
+        assert self.dag is not None, "DAG not available. Call make_dag."
+        return self.dag
+
+    def make_gp_engine(self, rescaling_threshold: float = 1e-40,
+                       use_gradients: bool = False):
+        assert self.alignment, "Read a fasta file first"
+        if self.dag is None:
+            self.make_dag()
+        sp = SitePattern(self.alignment, self.tree_collection.taxon_names)
+        self.engine = GPEngine(sp, self.dag)
+
+    make_engine = make_gp_engine  # reference alias (older API)
+
+    def get_gp_engine(self) -> GPEngine:
+        assert self.engine is not None, "Call make_gp_engine first"
+        return self.engine
+
+    # -- workflows --------------------------------------------------------
+    def populate_plvs(self):
+        self.get_gp_engine().populate_plvs()
+
+    def compute_likelihoods(self):
+        self.get_gp_engine().compute_likelihoods()
+
+    def compute_marginal_likelihood(self):
+        self.get_gp_engine().compute_likelihoods()
+
+    def estimate_branch_lengths(self, tol: float, max_iter: int,
+                                quiet: bool = True):
+        return self.get_gp_engine().estimate_branch_lengths(tol, max_iter,
+                                                            quiet)
+
+    def estimate_sbn_parameters(self):
+        self.get_gp_engine().estimate_sbn_parameters()
+
+    def hot_start_branch_lengths(self):
+        self.get_gp_engine().hot_start_branch_lengths(self.tree_collection)
+
+    def take_first_branch_length(self):
+        self.get_gp_engine().take_first_branch_length(self.tree_collection)
+
+    # -- accessors --------------------------------------------------------
+    def get_branch_lengths(self) -> np.ndarray:
+        return np.asarray(self.get_gp_engine().branch_lengths)
+
+    def set_branch_lengths(self, bl: np.ndarray):
+        import jax.numpy as jnp
+
+        eng = self.get_gp_engine()
+        eng.branch_lengths = jnp.asarray(bl, dtype=eng.dtype)
+
+    def get_sbn_parameters(self) -> np.ndarray:
+        return np.asarray(self.get_gp_engine().q)
+
+    def get_log_marginal_likelihood(self) -> float:
+        return self.get_gp_engine().log_marginal_likelihood()
+
+    def get_per_gpcsp_log_likelihoods(self) -> np.ndarray:
+        return self.get_gp_engine().per_gpcsp_log_likelihoods()
+
+    def pretty_indexed_per_gpcsp_log_likelihoods(self):
+        return list(zip(self.dag.pretty_edges(),
+                        self.get_per_gpcsp_log_likelihoods()))
+
+    def pretty_indexed_per_gpcsp_components_of_full_log_marginal(self):
+        return list(zip(
+            self.dag.pretty_edges(),
+            self.get_gp_engine().per_gpcsp_components_of_full_log_marginal(),
+        ))
+
+    def build_edge_idx_to_pcsp_map(self) -> Dict[int, str]:
+        return {e: self.dag.pretty_edge(e)
+                for e in range(self.dag.edge_count())}
+
+    def subsplit_dag_to_dot(self, path: str, edge_labels: bool = False):
+        with open(path, "w") as f:
+            f.write(self.get_dag().to_dot(edge_labels))
+
+    def dag_summary_statistics(self) -> Dict[str, int]:
+        return {
+            "node_count": self.get_dag().node_count_without_dag_root(),
+            "edge_count": self.get_dag().edge_count(),
+            "taxon_count": self.get_dag().taxon_count,
+            "topology_count": int(self.get_dag().topology_count()),
+        }
+
+    def generate_complete_rooted_tree_collection(self) -> TreeCollection:
+        """All topologies in the DAG, with the engine's GP branch lengths
+        (reference GenerateCompleteRootedTreeCollection)."""
+        topologies = self.get_dag().generate_all_topologies()
+        return self._trees_with_gp_branch_lengths(topologies)
+
+    def currently_loaded_trees_with_gp_branch_lengths(self) -> TreeCollection:
+        topologies = [t.topology for t in self.tree_collection.trees]
+        return self._trees_with_gp_branch_lengths(topologies)
+
+    def _trees_with_gp_branch_lengths(self, topologies) -> TreeCollection:
+        from ..core.bitset import PCSP, Subsplit
+
+        indexer = self.dag.build_edge_indexer()
+        bl_vec = self.get_branch_lengths()
+        trees = []
+        for topo in topologies:
+            n = topo.num_taxa
+            cl = topo.clades()
+            ch = topo.children()
+            ss = {v: Subsplit.leaf(v, n) for v in range(n)}
+            for v in range(n, topo.num_nodes):
+                kids = ch[v]
+                ss[v] = Subsplit.of_pair(cl[kids[0]], cl[kids[1]], n)
+            bl = np.zeros(topo.num_nodes)
+            for v in range(topo.num_nodes - 1):
+                parent = int(topo.parents[v])
+                pcsp = PCSP.of_parent_child(ss[parent], ss[v]).to_string()
+                if pcsp in indexer:
+                    bl[v] = bl_vec[indexer[pcsp]]
+            trees.append(Tree(topo, bl))
+        return TreeCollection(trees, list(self.tree_collection.taxon_names))
+
+
+def gp_instance(mmap_file_path: str = "") -> GPInstance:
+    return GPInstance(mmap_file_path)

@@ -230,6 +230,10 @@ def parse_nexus_file(path: str, sort_taxa: bool = False) -> TreeCollection:
             low = ln.lower()
             if not ln:
                 continue
+        if in_translate and ln.startswith("("):
+            # Translate table without a terminating ';' followed directly by
+            # a bare tree line (e.g. data/hello_out.t).
+            in_translate = False
         if in_translate:
             ended = ln.endswith(";")
             body = ln.rstrip(";").rstrip(",")
@@ -246,6 +250,9 @@ def parse_nexus_file(path: str, sort_taxa: bool = False) -> TreeCollection:
         if low.startswith("tree "):
             eq = ln.index("=")
             tree_strings.append(ln[eq + 1:].strip())
+        elif ln.startswith("("):
+            # Bare newick line inside the trees block (e.g. data/hello_out.t).
+            tree_strings.append(ln)
     if not translate:
         raise ValueError("Nexus file has no translate table")
     # Taxon order: translate-table order (keys are typically 1..N), optionally

@@ -1,0 +1,473 @@
+"""GP engine: generalized pruning on the subsplit DAG as levelized XLA
+wavefront programs.
+
+TPU-native rebuild of the reference GPEngine
+(reference: src/gp_engine.cpp:213-816, src/gp_engine.hpp:287-377).  The
+mmapped per-node PLV store becomes one HBM-resident tensor
+  plv[6, N, 4, S]   (P, PHatRight, PHatLeft, RHat, RRight, RLeft)
+with per-(PLV, site) log rescaling offsets
+  ls[6, N, S]
+replacing the reference's threshold-triggered per-PLV scaler counts
+(src/gp_engine.cpp:564-601) with exact per-site scale bookkeeping.
+
+The serial GPOperation tape (src/gp_dag.cpp:260-304) becomes one batched
+gather -> q-weighted 4x4 matvec -> scatter-add per DAG level; branch-length
+optimization runs whole levels of independent Brent line searches at once
+(replacing the per-edge serial Brent of src/gp_engine.cpp:603-654).
+
+Like the reference engine, the substitution model is JC69 with four states
+(src/gp_engine.hpp:362-377).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.site_pattern import SitePattern
+from ..dag.schedule import (
+    GPSchedule,
+    LevelEntries,
+    P,
+    PHAT_RIGHT,
+    PHAT_LEFT,
+    RHAT,
+    RRIGHT,
+    RLEFT,
+    build_schedule,
+)
+from ..dag.subsplit_dag import LEFT, RIGHT, SubsplitDAG
+from . import optimize
+
+Precision = jax.lax.Precision.HIGHEST
+
+MIN_LOG_BL = -13.9       # reference src/dag_branch_handler.hpp:272
+MAX_LOG_BL = 1.1         # reference src/dag_branch_handler.hpp:275
+DEFAULT_BL = 0.1         # reference src/dag_branch_handler.hpp:266
+
+
+def jc69_transition(t: jnp.ndarray) -> jnp.ndarray:
+    """JC69 P(t): 0.25(1-e) off-diagonal + e on the diagonal with
+    e = exp(-4t/3) (reference src/gp_engine.cpp:341-350 via eigendecomp).
+    Symmetric, so it serves both rootward and leafward evolution."""
+    e = jnp.exp(-4.0 * t / 3.0)
+    eye = jnp.eye(4, dtype=t.dtype)
+    return 0.25 * (1.0 - e)[..., None, None] + e[..., None, None] * eye
+
+
+def jc69_transition_derivative(t: jnp.ndarray) -> jnp.ndarray:
+    e = jnp.exp(-4.0 * t / 3.0) * (-4.0 / 3.0)
+    eye = jnp.eye(4, dtype=t.dtype)
+    return -0.25 * e[..., None, None] + e[..., None, None] * eye
+
+
+class GPEngine:
+    def __init__(self, site_pattern: SitePattern, dag: SubsplitDAG,
+                 dtype=None):
+        self.site_pattern = site_pattern
+        self.dag = dag
+        self.dtype = dtype or jnp.zeros(0).dtype
+        self.schedule = build_schedule(dag)
+        S0 = site_pattern.pattern_count
+        self.S = S0  # patterns kept unpadded here; pad when sharding
+        tips = site_pattern.tip_partials().astype(np.float64)  # [n, S, 4]
+        self.tips = jnp.asarray(np.swapaxes(tips, 1, 2), dtype=self.dtype)
+        self.weights = jnp.asarray(site_pattern.weights, dtype=self.dtype)
+        # Priors (reference GPInstance::MakeGPEngine, src/gp_instance.cpp:146)
+        self.sbn_prior = dag.build_uniform_on_topological_support_prior()
+        node_probs = dag.unconditional_node_probabilities(self.sbn_prior)
+        self.unconditional_node_probabilities = node_probs[
+            : dag.node_count_without_dag_root()
+        ]
+        self.inverted_sbn_prior = dag.inverted_gpcsp_probabilities(
+            self.sbn_prior, node_probs
+        )
+        # Mutable engine state
+        self.q = jnp.asarray(self.sbn_prior, dtype=self.dtype)
+        self.branch_lengths = jnp.full(
+            (self.schedule.edge_count,), DEFAULT_BL, dtype=self.dtype
+        )
+        self.branch_length_differences = jnp.zeros_like(self.branch_lengths)
+        self.plv: Optional[jnp.ndarray] = None
+        self.ls: Optional[jnp.ndarray] = None
+        self.per_edge_ll: Optional[jnp.ndarray] = None
+        self.log_marginal_site: Optional[jnp.ndarray] = None
+        self._build_programs()
+
+    # ------------------------------------------------------------------
+    # program construction (closures over the static schedule arrays)
+    # ------------------------------------------------------------------
+    def _build_programs(self):
+        sch = self.schedule
+        N = sch.node_count
+        n_taxa = sch.taxon_count
+        S = self.S
+        dtype = self.dtype
+        NEG = jnp.asarray(-jnp.inf, dtype)
+
+        def accumulate(plv, ls, entries: LevelEntries, trans_all, q,
+                       dest_plv_of_entry, src_is_r=False):
+            """Scatter-accumulate q-weighted evolved PLVs into fresh dest
+            slots, aligning per-site scales to the per-dest max."""
+            e = jnp.asarray(entries.edge)
+            dest = jnp.asarray(entries.dest)
+            src = jnp.asarray(entries.src)
+            src_plv = jnp.asarray(entries.src_plv)
+            src_vals = plv[src_plv, src]          # [K, 4, S]
+            src_ls = ls[src_plv, src]             # [K, S]
+            key = dest_plv_of_entry * N + dest    # [K] flat (plv_type, node)
+            ls_max = jnp.full((6 * N, S), NEG).at[key].max(src_ls)
+            factor = jnp.exp(src_ls - ls_max[key])
+            contrib = (
+                q[e][:, None, None]
+                * jnp.einsum("kab,kbs->kas", trans_all[e], src_vals,
+                             precision=Precision)
+                * factor[:, None, :]
+            )
+            acc = jnp.zeros((6 * N, 4, S), dtype).at[key].add(contrib)
+            return acc.reshape(6, N, 4, S), jnp.where(
+                jnp.isfinite(ls_max), ls_max, 0.0
+            ).reshape(6, N, S)
+
+        def write_levels(plv, ls, acc, acc_ls, plv_types, nodes):
+            for ptype in plv_types:
+                plv = plv.at[ptype, nodes].set(acc[ptype, nodes])
+                ls = ls.at[ptype, nodes].set(acc_ls[ptype, nodes])
+            return plv, ls
+
+        def multiply_rescale(plv, ls, dest, src1, src2, nodes):
+            prod = plv[src1, nodes] * plv[src2, nodes]
+            lsn = ls[src1, nodes] + ls[src2, nodes]
+            m = prod.max(axis=1)                  # [M, S]
+            m_safe = jnp.where(m > 0, m, 1.0)
+            plv = plv.at[dest, nodes].set(prod / m_safe[:, None, :])
+            ls = ls.at[dest, nodes].set(lsn + jnp.log(m_safe))
+            return plv, ls
+
+        rootsplit_nodes = jnp.asarray(sch.rootsplit_nodes)
+        rootsplit_edges = jnp.asarray(sch.rootsplit_edges)
+
+        def populate(bl, q):
+            trans = jc69_transition(bl)           # [E, 4, 4]
+            plv = jnp.zeros((6, N, 4, S), dtype)
+            ls = jnp.zeros((6, N, S), dtype)
+            plv = plv.at[P, :n_taxa].set(self.tips)
+            # Rootward: phat accumulation + P multiply per level.
+            for lvl in sch.rootward:
+                nodes = jnp.asarray(lvl.nodes)
+                dest_plv = jnp.where(jnp.asarray(lvl.dest_side),
+                                     PHAT_LEFT, PHAT_RIGHT)
+                acc, acc_ls = accumulate(plv, ls, lvl, trans, q, dest_plv)
+                plv, ls = write_levels(plv, ls, acc, acc_ls,
+                                       (PHAT_RIGHT, PHAT_LEFT), nodes)
+                plv, ls = multiply_rescale(plv, ls, P, PHAT_LEFT, PHAT_RIGHT,
+                                           nodes)
+            # Leafward: seed rootsplits' RHat with q * stationary
+            # (reference SetToStationaryDistribution, src/gp_engine.cpp:218).
+            rhat_root = jnp.broadcast_to(
+                (q[rootsplit_edges] * 0.25)[:, None, None],
+                (len(sch.rootsplit_nodes), 4, S),
+            )
+            plv = plv.at[RHAT, rootsplit_nodes].set(rhat_root)
+            ls = ls.at[RHAT, rootsplit_nodes].set(0.0)
+            for i, lvl in enumerate(sch.leafward):
+                nodes = jnp.asarray(lvl.nodes)
+                if i > 0 and len(lvl.edge):
+                    dest_plv = jnp.full(len(lvl.edge), RHAT)
+                    acc, acc_ls = accumulate(plv, ls, lvl, trans, q, dest_plv)
+                    plv, ls = write_levels(plv, ls, acc, acc_ls, (RHAT,),
+                                           nodes)
+                plv, ls = multiply_rescale(plv, ls, RRIGHT, RHAT, PHAT_LEFT,
+                                           nodes)
+                plv, ls = multiply_rescale(plv, ls, RLEFT, RHAT, PHAT_RIGHT,
+                                          nodes)
+            return plv, ls
+
+        like_parent = jnp.asarray(sch.like_parent)
+        like_r_plv = jnp.asarray(sch.like_r_plv)
+        like_child = jnp.asarray(sch.like_child)
+        like_mask = jnp.asarray(sch.like_mask)
+
+        def likelihoods(plv, ls, bl, q):
+            """Per-edge log likelihoods + per-site log marginal (reference
+            GPDAG::ComputeLikelihoods + IncrementMarginalLikelihood)."""
+            trans = jc69_transition(bl)
+            r = plv[like_r_plv, like_parent]      # [E, 4, S]
+            lsr = ls[like_r_plv, like_parent]
+            p = plv[P, like_child]
+            lsp = ls[P, like_child]
+            val = jnp.einsum("eas,eab,ebs->es", r, trans, p,
+                             precision=Precision)
+            rows = jnp.log(jnp.where(val > 0, val, 1e-300)) + lsr + lsp
+            per_edge = rows @ self.weights
+            # Rootsplit edges: no transition matrix; RHat = q*pi at the same
+            # node; conditional rows subtract log q.
+            r0 = plv[RHAT, rootsplit_nodes]
+            p0 = plv[P, rootsplit_nodes]
+            lsp0 = ls[P, rootsplit_nodes]
+            val0 = jnp.einsum("eas,eas->es", r0, p0, precision=Precision)
+            rows0 = jnp.log(jnp.where(val0 > 0, val0, 1e-300)) + lsp0
+            log_marginal_site = jax.scipy.special.logsumexp(rows0, axis=0)
+            per_edge_root = (
+                rows0 @ self.weights
+                - jnp.log(q[rootsplit_edges]) * jnp.sum(self.weights)
+            )
+            per_edge = jnp.where(like_mask, per_edge, 0.0)
+            per_edge = per_edge.at[rootsplit_edges].set(per_edge_root)
+            return per_edge, log_marginal_site
+
+        # -- optimization sweep (tidy traversal levelized) --------------
+        # Static per-level edge groups for each side.
+        opt_levels = []
+        for lvl in sch.leafward:
+            groups = {}
+            for side in (RIGHT, LEFT):
+                edges, parents, children = [], [], []
+                for u in lvl.nodes.tolist():
+                    for c, e in self.dag.leafward[u][side]:
+                        edges.append(e)
+                        parents.append(u)
+                        children.append(c)
+                groups[side] = (
+                    np.asarray(edges, dtype=np.int32),
+                    np.asarray(parents, dtype=np.int32),
+                    np.asarray(children, dtype=np.int32),
+                )
+            opt_levels.append((lvl, groups))
+
+        def optimize_side(plv, ls, bl, q, group, r_plv):
+            edges, parents, children = (jnp.asarray(g) for g in group)
+            if len(group[0]) == 0:
+                return bl
+            r = plv[r_plv, parents]               # [K, 4, S]
+            p = plv[P, children]
+            w = self.weights
+
+            def neg_ll(y):
+                t = jnp.exp(y)
+                trans = jc69_transition(t)        # [K, 4, 4]
+                val = jnp.einsum("kas,kab,kbs->ks", r, trans, p,
+                                 precision=Precision)
+                return -(jnp.log(jnp.where(val > 0, val, 1e-300)) @ w)
+
+            lo = jnp.full(len(group[0]), MIN_LOG_BL, dtype)
+            hi = jnp.full(len(group[0]), MAX_LOG_BL, dtype)
+            y_opt = optimize.brent_minimize_batched(neg_ll, lo, hi)
+            return bl.at[edges].set(jnp.exp(y_opt))
+
+        def rebuild_phat(plv, ls, bl, q, lvl_entries, nodes, side):
+            """Recompute one phat side for `nodes` from current bl."""
+            mask = np.asarray(lvl_entries.dest_side) == (side == LEFT)
+            sub = LevelEntries(
+                edge=lvl_entries.edge[mask],
+                dest=lvl_entries.dest[mask],
+                dest_side=lvl_entries.dest_side[mask],
+                src=lvl_entries.src[mask],
+                src_plv=lvl_entries.src_plv[mask],
+                nodes=lvl_entries.nodes,
+            )
+            if len(sub.edge) == 0:
+                return plv, ls
+            trans = jc69_transition(bl)
+            ptype = PHAT_LEFT if side == LEFT else PHAT_RIGHT
+            dest_plv = jnp.full(len(sub.edge), ptype)
+            acc, acc_ls = accumulate(plv, ls, sub, trans, q, dest_plv)
+            return write_levels(plv, ls, acc, acc_ls, (ptype,),
+                                jnp.asarray(nodes))
+
+        # Map node -> its rootward-level entries (for phat rebuilds).
+        node_rootward_level: Dict[int, LevelEntries] = {}
+        for lvl in sch.rootward:
+            for u in lvl.nodes.tolist():
+                node_rootward_level[u] = lvl
+
+        def optimization_sweep(plv, ls, bl, q):
+            trans = jc69_transition(bl)
+            for i, (lvl, groups) in enumerate(opt_levels):
+                nodes = jnp.asarray(lvl.nodes)
+                if i == 0:
+                    rhat_root = jnp.broadcast_to(
+                        (q[rootsplit_edges] * 0.25)[:, None, None],
+                        (len(sch.rootsplit_nodes), 4, S),
+                    )
+                    plv = plv.at[RHAT, rootsplit_nodes].set(rhat_root)
+                    ls = ls.at[RHAT, rootsplit_nodes].set(0.0)
+                elif len(lvl.edge):
+                    trans_now = jc69_transition(bl)
+                    dest_plv = jnp.full(len(lvl.edge), RHAT)
+                    acc, acc_ls = accumulate(plv, ls, lvl, trans_now, q,
+                                             dest_plv)
+                    plv, ls = write_levels(plv, ls, acc, acc_ls, (RHAT,),
+                                           nodes)
+                # Right side: RRight = RHat o PHatLeft, optimize, rebuild.
+                plv, ls = multiply_rescale(plv, ls, RRIGHT, RHAT, PHAT_LEFT,
+                                          nodes)
+                bl = optimize_side(plv, ls, bl, q, groups[RIGHT], RRIGHT)
+                is_internal = np.asarray(
+                    [u >= sch.taxon_count for u in lvl.nodes]
+                )
+                internal_nodes = lvl.nodes[is_internal]
+                if len(internal_nodes):
+                    ent = _node_entries(internal_nodes)
+                    plv, ls = rebuild_phat(plv, ls, bl, q, ent,
+                                           internal_nodes, RIGHT)
+                # Left side.
+                plv, ls = multiply_rescale(plv, ls, RLEFT, RHAT, PHAT_RIGHT,
+                                          nodes)
+                bl = optimize_side(plv, ls, bl, q, groups[LEFT], RLEFT)
+                if len(internal_nodes):
+                    ent = _node_entries(internal_nodes)
+                    plv, ls = rebuild_phat(plv, ls, bl, q, ent,
+                                           internal_nodes, LEFT)
+                    plv, ls = multiply_rescale(
+                        plv, ls, P, PHAT_LEFT, PHAT_RIGHT,
+                        jnp.asarray(internal_nodes),
+                    )
+            return plv, ls, bl
+
+        def _node_entries(nodes) -> LevelEntries:
+            edges, dest, dside, src = [], [], [], []
+            for u in np.asarray(nodes).tolist():
+                for side in (RIGHT, LEFT):
+                    for c, e in self.dag.leafward[u][side]:
+                        edges.append(e)
+                        dest.append(u)
+                        dside.append(side == LEFT)
+                        src.append(c)
+            return LevelEntries(
+                edge=np.asarray(edges, dtype=np.int32),
+                dest=np.asarray(dest, dtype=np.int32),
+                dest_side=np.asarray(dside, dtype=bool),
+                src=np.asarray(src, dtype=np.int32),
+                src_plv=np.full(len(edges), P, dtype=np.int32),
+                nodes=np.asarray(nodes, dtype=np.int32),
+            )
+
+        self._populate = jax.jit(populate)
+        self._likelihoods = jax.jit(likelihoods)
+        self._optimization_sweep = jax.jit(optimization_sweep)
+
+    # ------------------------------------------------------------------
+    # public API (mirroring reference GPEngine / GPInstance verbs)
+    # ------------------------------------------------------------------
+    def populate_plvs(self):
+        self.plv, self.ls = self._populate(self.branch_lengths, self.q)
+
+    def compute_likelihoods(self):
+        assert self.plv is not None, "Call populate_plvs first"
+        self.per_edge_ll, self.log_marginal_site = self._likelihoods(
+            self.plv, self.ls, self.branch_lengths, self.q
+        )
+
+    def log_marginal_likelihood(self) -> float:
+        """Reference GPEngine::GetLogMarginalLikelihood: per-site log
+        marginal dotted with site weights."""
+        return float(self.log_marginal_site @ self.weights)
+
+    def per_gpcsp_log_likelihoods(self) -> np.ndarray:
+        return np.asarray(self.per_edge_ll)
+
+    def per_gpcsp_components_of_full_log_marginal(self) -> np.ndarray:
+        """Reference GetPerGPCSPComponentsOfFullLogMarginal."""
+        return (
+            np.asarray(self.per_edge_ll)
+            + float(self.site_pattern.weights.sum()) * np.log(np.asarray(self.q))
+        )
+
+    def optimize_branch_lengths_once(self):
+        old = self.branch_lengths
+        self.plv, self.ls, self.branch_lengths = self._optimization_sweep(
+            self.plv, self.ls, self.branch_lengths, self.q
+        )
+        self.branch_length_differences = jnp.abs(self.branch_lengths - old)
+
+    def estimate_branch_lengths(self, tol: float, max_iter: int,
+                                quiet: bool = True) -> float:
+        """Reference GPInstance::EstimateBranchLengths
+        (src/gp_instance.cpp:241-310): coordinate-ascent sweeps until the
+        mean |Delta bl| drops below tol."""
+        self.populate_plvs()
+        self.compute_likelihoods()
+        current = self.log_marginal_likelihood()
+        for it in range(max_iter):
+            self.optimize_branch_lengths_once()
+            self.populate_plvs()
+            self.compute_likelihoods()
+            marginal = self.log_marginal_likelihood()
+            diff = float(jnp.mean(self.branch_length_differences))
+            if not quiet:
+                print(f"Iteration {it + 1}: marginal {marginal:.9f} "
+                      f"mean|dbl| {diff:.3e}")
+            if diff < tol:
+                break
+            current = marginal
+        return current
+
+    def update_sbn_probabilities(self):
+        """Reference UpdateSBNProbabilities (src/gp_engine.cpp:304-321):
+        per-parent-segment posterior normalization of q."""
+        q = np.asarray(self.q).copy()
+        ll = np.asarray(self.per_edge_ll)
+        for start, end in self.schedule.sbn_segments:
+            if end - start == 1:
+                q[start] = 1.0
+                continue
+            seg = ll[start:end] + np.log(q[start:end])
+            seg = seg - seg.max()
+            p = np.exp(seg)
+            q[start:end] = p / p.sum()
+        self.q = jnp.asarray(q, dtype=self.dtype)
+
+    def estimate_sbn_parameters(self):
+        """Reference GPInstance::EstimateSBNParameters: populate, compute
+        likelihoods, then normalize q per segment."""
+        self.populate_plvs()
+        self.compute_likelihoods()
+        self.update_sbn_probabilities()
+        self.compute_likelihoods()
+
+    # -- branch length initialization from trees -----------------------
+    def _edge_lengths_from_trees(self, tree_collection) -> Dict[int, List[float]]:
+        indexer = self.dag.build_edge_indexer()
+        observed: Dict[int, List[float]] = {}
+        from ..core.bitset import Subsplit
+        from ..sbn.maps import rooted_rootsplit
+
+        for tree in tree_collection.trees:
+            topo = tree.topology
+            n = topo.num_taxa
+            cl = topo.clades()
+            ch = topo.children()
+            ss = {}
+            for v in range(n):
+                ss[v] = Subsplit.leaf(v, n)
+            for v in range(n, topo.num_nodes):
+                kids = ch[v]
+                ss[v] = Subsplit.of_pair(cl[kids[0]], cl[kids[1]], n)
+            for v in range(topo.num_nodes - 1):
+                parent = int(topo.parents[v])
+                from ..core.bitset import PCSP
+
+                pcsp = PCSP.of_parent_child(ss[parent], ss[v]).to_string()
+                if pcsp in indexer:
+                    observed.setdefault(indexer[pcsp], []).append(
+                        float(tree.branch_lengths[v])
+                    )
+        return observed
+
+    def hot_start_branch_lengths(self, tree_collection):
+        """Reference GPEngine::HotStartBranchLengths
+        (src/gp_engine.cpp:676-746): per-edge mean of observed lengths."""
+        bl = np.asarray(self.branch_lengths).copy()
+        for e, vals in self._edge_lengths_from_trees(tree_collection).items():
+            bl[e] = float(np.mean(vals))
+        self.branch_lengths = jnp.asarray(bl, dtype=self.dtype)
+
+    def take_first_branch_length(self, tree_collection):
+        bl = np.asarray(self.branch_lengths).copy()
+        for e, vals in self._edge_lengths_from_trees(tree_collection).items():
+            bl[e] = vals[0]
+        self.branch_lengths = jnp.asarray(bl, dtype=self.dtype)

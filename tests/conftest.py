@@ -1,20 +1,18 @@
-"""Test configuration: run on a virtual 8-device CPU mesh with float64.
+"""Test configuration: CPU with float64 for golden-value parity.
 
-Per the driver contract, sharding tests use
-XLA_FLAGS=--xla_force_host_platform_device_count=8 with JAX_PLATFORMS=cpu;
-float64 gives bit-comparable parity against the reference's doubles.
+Multi-device sharding tests (tests/test_dist.py) spawn subprocesses with
+XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu, since
+the flag must be set before jax import and slows every compile when active.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# jax is preloaded at interpreter startup in this environment (and
+# JAX_PLATFORMS may be set to the TPU tunnel), so mutate the config, not env.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import pathlib

@@ -1,0 +1,122 @@
+"""VI (vip-equivalent) layer tests.
+
+Oracles:
+  - hello ELBO innards vs Mathieu's goldens (reference
+    vip/test/test_burrito.py): LL -81.446550, prior 4.327275, logQ 5.330697
+  - LogNormal hand gradients vs JAX autodiff (reference
+    vip/test/test_scalar_models.py)
+  - exponential prior values (vip/test/test_priors.py)
+  - end-to-end: ELBO improves over training on hello
+"""
+import numpy as np
+import pytest
+
+from bito_tpu.models.phylo_model import PhyloModelSpecification
+from bito_tpu.vi import scalar_model as scalar_model_mod
+from bito_tpu.vi.burrito import Burrito
+from bito_tpu.vi.priors import grad_log_exp_prior, log_exp_prior
+
+PARAMS = np.array([[0.4, 1.3], [-2.0, 4.0], [3.0, 0.2]])
+
+
+def make_hello_burrito(particle_count=1, branch_model_name="split",
+                       optimizer_name="simple"):
+    return Burrito(
+        mcmc_nexus_path="/root/reference/data/hello_out.t",
+        burn_in_fraction=0,
+        fasta_path="/root/reference/data/hello.fasta",
+        phylo_model_specification=PhyloModelSpecification(
+            substitution="JC69", site="constant", clock="strict"
+        ),
+        branch_model_name=branch_model_name,
+        scalar_model_name="lognormal",
+        optimizer_name=optimizer_name,
+        particle_count=particle_count,
+    )
+
+
+class TestBurrito:
+    def test_elbo_innards(self):
+        burro = make_hello_burrito()
+        branch_model = burro.branch_model
+        px_branch_lengths = burro.sample_topologies(1)
+        theta_sample = np.array([0.184472, 0.027993, 0.045583])
+        px_branch_lengths[0][:] = theta_sample
+        px_theta_sample = np.array([theta_sample])
+        mathieu_q_params = np.array(
+            [[-1.728809, 0.459529], [-2.410943, 0.748569],
+             [-2.410977, 0.748571]]
+        )
+        px_branch_representation = branch_model.px_branch_representation()
+        branch_rep = px_branch_representation[0]
+        branch_model.scalar_model.q_params[branch_rep, :] = mathieu_q_params
+
+        assert burro.inst.log_likelihoods()[0] == pytest.approx(-81.446550)
+        assert branch_model.log_prior(px_theta_sample)[0] == pytest.approx(
+            4.327275
+        )
+        assert branch_model.log_prob(
+            px_theta_sample, px_branch_representation
+        ) == pytest.approx(5.330697, rel=1e-5)
+
+    def test_gradient_steps_improve_elbo(self):
+        burro = make_hello_burrito(particle_count=10)
+        start = np.mean([burro.estimate_elbo(50) for _ in range(5)])
+        burro.gradient_steps(40, track_elbo=False)
+        end = np.mean([burro.estimate_elbo(50) for _ in range(5)])
+        assert end > start, (start, end)
+
+    def test_psp_gradient_step_runs(self):
+        burro = make_hello_burrito(particle_count=4,
+                                   branch_model_name="psp")
+        burro.gradient_step()
+        burro.gradient_step()
+        assert np.all(np.isfinite(burro.branch_model.q_params))
+        # sentinel row pinned at zero
+        np.testing.assert_array_equal(burro.branch_model.q_params[-1], 0.0)
+
+    def test_marginal_likelihood_estimate_finite(self):
+        burro = make_hello_burrito(particle_count=4)
+        est = burro.marginal_likelihood_estimate(20)
+        assert np.isfinite(est)
+        # The hello marginal should be in the right ballpark of the MLL.
+        assert -120 < est < -60
+
+
+class TestScalarModels:
+    def test_lognormal_log_prob_vs_jax(self):
+        sample = np.array([0.3, 3.14159, 0.0001])
+        wv = np.arange(3)
+        ln = scalar_model_mod.of_name("lognormal", variable_count=3)
+        ln.q_params[:, :] = PARAMS
+        jln = scalar_model_mod.of_name("jax_lognormal", variable_count=3)
+        jln.q_params[:, :] = PARAMS
+        assert ln.log_prob(sample, wv) == pytest.approx(
+            jln.log_prob(sample, wv)
+        )
+
+    def test_lognormal_gradients_vs_jax_autodiff(self):
+        particle_count = 8
+        jln = scalar_model_mod.of_name("jax_lognormal", variable_count=3)
+        jln.q_params[:, :] = PARAMS
+        px_wv = [np.arange(3) for _ in range(particle_count)]
+        ln = scalar_model_mod.LogNormalModel(np.array([0.0, 1.0]), 3)
+        ln.q_params[:, :] = PARAMS
+        sample = ln.sample_all(particle_count)
+        ours = ln.sample_and_gradients(px_wv, prebaked_sample=sample)
+        theirs = jln.sample_and_gradients(px_wv, prebaked_sample=sample)
+        for our_item, their_item in zip(ours, theirs):
+            np.testing.assert_allclose(our_item, their_item, rtol=1e-5)
+
+    def test_mode_match_shapes(self):
+        ln = scalar_model_mod.of_name("lognormal", variable_count=4)
+        ln.mode_match(np.array([0.1, 0.2, 0.3, 0.4]))
+        assert np.all(np.isfinite(ln.q_params))
+
+
+class TestPriors:
+    def test_exp_prior(self):
+        x = np.array([[0.1, 0.2], [0.3, 0.4]])
+        expected = np.log(10) * 2 - 10 * np.array([0.3, 0.7])
+        np.testing.assert_allclose(log_exp_prior(x), expected)
+        assert grad_log_exp_prior(x) == -10
