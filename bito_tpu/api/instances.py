@@ -331,7 +331,266 @@ class UnrootedSBNInstance(GenericSBNInstance):
 
 
 class RootedSBNInstance(GenericSBNInstance):
+    """Rooted/time-tree instance (reference src/rooted_sbn_instance.{hpp,cpp},
+    bound in src/pybito.cpp:240-430): tip dates, height/ratio gradient
+    transforms, and model-parameter gradients via autodiff (replacing the
+    reference's central finite differences, src/fat_beagle.cpp:422-508)."""
+
     rooted = True
+
+    def __init__(self, name: str = "instance"):
+        super().__init__(name)
+        self.tree_states = None  # List[RootedTreeState]
+
+    # -- tip dates -------------------------------------------------------
+    def _init_states(self, dates_by_taxon: Dict[str, float],
+                     initialize_time_trees: bool):
+        from ..treelike import rooted as rooted_mod
+
+        names = self.tree_collection.taxon_names
+        max_date = max(dates_by_taxon.values())
+        # Reference semantics: date := max_date - date (most recent tip at 0).
+        dates = [max_date - dates_by_taxon[t] for t in names]
+        self.tree_states = []
+        for tree in self.tree_collection.trees:
+            state = rooted_mod.set_tip_dates(tree, dates)
+            if initialize_time_trees:
+                rooted_mod.initialize_time_tree_using_branch_lengths(state)
+            self.tree_states.append(state)
+
+    def parse_dates_from_taxon_names(self, initialize_time_trees: bool = False):
+        import re
+
+        pat = re.compile(r"^.+_(\d*\.?\d+(?:[eE][-+]?\d+)?)$")
+        dates = {}
+        for t in self.tree_collection.taxon_names:
+            m = pat.match(t)
+            assert m, f"Taxon {t!r} has no parseable date suffix"
+            dates[t] = float(m.group(1))
+        self._init_states(dates, initialize_time_trees)
+
+    def set_dates_to_be_constant(self, initialize_time_trees: bool = False):
+        self._init_states(
+            {t: 0.0 for t in self.tree_collection.taxon_names},
+            initialize_time_trees,
+        )
+
+    def parse_dates_from_csv(self, csv_path: str,
+                             initialize_time_trees: bool = False):
+        dates = {}
+        with open(csv_path, newline="") as f:
+            for row in _csv.reader(f):
+                if row:
+                    dates[row[0].strip('"')] = float(row[1])
+        self._init_states(dates, initialize_time_trees)
+
+    # -- likelihood with substitution-length branches --------------------
+    def _subst_branch_lengths(self):
+        """Per-tree substitution lengths rate_i * time_i as the engine's
+        branch-length input (reference FatBeagle rooted semantics)."""
+        import jax.numpy as jnp
+
+        enc = self.engine.encode(self.tree_collection.trees)
+        bl = np.zeros((len(self.tree_collection.trees), enc.num_slots))
+        for i, tree in enumerate(self.tree_collection.trees):
+            N = tree.topology.num_nodes
+            rates = (self.tree_states[i].rates if self.tree_states
+                     else np.ones(N - 1))
+            bl[i, : N - 1] = tree.branch_lengths[: N - 1] * rates
+        return jnp.asarray(bl, dtype=self.engine.dtype)
+
+    def log_likelihoods(self, include_log_det_jacobian: bool = True
+                        ) -> np.ndarray:
+        """Rooted log likelihoods; by default includes the log-det Jacobian
+        of the height transform (matching the reference's default
+        PhyloFlags for time trees, src/rooted_sbn_instance.hpp:285-288)."""
+        from ..treelike import rooted as rooted_mod
+
+        assert self.engine is not None, "prepare_for_phylo_likelihood first"
+        ll = np.asarray(
+            self.engine.log_likelihoods(
+                self.tree_collection.trees, self._params_dict(),
+                branch_lengths=self._subst_branch_lengths(),
+            )
+        )
+        if include_log_det_jacobian and self.tree_states:
+            ll = ll + np.array([
+                rooted_mod.log_det_jacobian_height_transform(s)
+                for s in self.tree_states
+            ])
+        return ll
+
+    def log_det_jacobian_of_height_transform(self) -> np.ndarray:
+        from ..treelike import rooted as rooted_mod
+
+        return np.array([
+            rooted_mod.log_det_jacobian_height_transform(s)
+            for s in self.tree_states
+        ])
+
+    def gradient_log_det_jacobian_of_height_transform(self) -> List[np.ndarray]:
+        from ..treelike import rooted as rooted_mod
+
+        return [
+            rooted_mod.gradient_log_det_jacobian(s) for s in self.tree_states
+        ]
+
+    def phylo_gradients(self) -> List[PhyloGradient]:
+        """Gradient map per tree: branch_lengths (substitution space),
+        ratios_root_height, and model-parameter gradients
+        (substitution_model in stick-breaking space, site_model,
+        clock_model) via autodiff."""
+        from ..treelike import rooted as rooted_mod
+
+        assert self.engine is not None, "prepare_for_phylo_likelihood first"
+        trees = self.tree_collection.trees
+        bl = self._subst_branch_lengths()
+        ll, grads = self.engine.ll_and_branch_gradients(
+            trees, self._params_dict(), branch_lengths=bl
+        )
+        ll = np.asarray(ll)
+        grads = np.asarray(grads)
+        model_grads = self._model_param_gradients(bl)
+        out = []
+        for i, tree in enumerate(trees):
+            n_edges = tree.topology.num_nodes
+            gmap = {"branch_lengths": grads[i, :n_edges].copy()}
+            if self.tree_states:
+                gmap["ratios_root_height"] = (
+                    rooted_mod.ratio_gradient_of_branch_gradient(
+                        self.tree_states[i], grads[i, :n_edges],
+                        include_log_det_jacobian=True,
+                    )
+                )
+                # Clock gradient (reference ClockGradient,
+                # src/fat_beagle.cpp:375-399).
+                state = self.tree_states[i]
+                per_branch = (grads[i, : n_edges - 1]
+                              * tree.branch_lengths[: n_edges - 1])
+                gmap["clock_model"] = np.array([per_branch.sum()])
+                gmap["clock_model_rates"] = per_branch
+            for key, val in model_grads.items():
+                gmap[key] = np.asarray(val[i])
+            out.append(PhyloGradient(ll[i], gmap))
+        return out
+
+    def _model_param_gradients(self, bl) -> Dict[str, np.ndarray]:
+        """Autodiff gradients wrt substitution (stick-breaking space) and
+        site model parameters, per tree."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.transforms import (
+            stick_breaking_forward,
+            stick_breaking_inverse,
+        )
+        from ..treelike import pruning
+
+        model = self.phylo_model
+        spec = model.spec
+        out: Dict[str, np.ndarray] = {}
+        if spec.substitution == "JC69" and model.site.kind == "constant":
+            return out
+        engine = self.engine
+        trees = self.tree_collection.trees
+        enc = engine.encode(trees)
+        params0 = self._params_dict()
+        B = len(trees)
+
+        def ll_with(params_dict):
+            eig, rates, props, clock = engine._model_ingredients(
+                params_dict, B
+            )
+            return pruning.log_likelihoods_impl(
+                jnp.asarray(enc.post_ops), jnp.asarray(enc.root),
+                engine.tip_partials, engine.weights, bl,
+                eig, rates, props, clock,
+                num_slots=enc.num_slots, pattern_pad=engine.pattern_pad,
+                category_count=model.category_count,
+            )
+
+        if spec.substitution in ("GTR", "HKY"):
+            rates0 = np.asarray(params0["substitution_model_rates"])
+            freqs0 = np.asarray(params0["substitution_model_frequencies"])
+            if rates0.ndim == 2:
+                rates0, freqs0 = rates0[0], freqs0[0]
+            y_freqs = jnp.asarray(stick_breaking_inverse(freqs0))
+            if spec.substitution == "GTR":
+                y_rates = jnp.asarray(stick_breaking_inverse(rates0))
+
+                def f(y):
+                    yr, yf = y[:5], y[5:]
+                    p = dict(params0)
+                    p["substitution_model_rates"] = stick_breaking_forward(yr)
+                    p["substitution_model_frequencies"] = (
+                        stick_breaking_forward(yf)
+                    )
+                    return ll_with(p)
+
+                y0 = jnp.concatenate([y_rates, y_freqs])
+            else:
+                kappa0 = jnp.log(jnp.asarray(rates0[:1]))
+
+                def f(y):
+                    p = dict(params0)
+                    p["substitution_model_rates"] = jnp.exp(y[:1])
+                    p["substitution_model_frequencies"] = (
+                        stick_breaking_forward(y[1:])
+                    )
+                    return ll_with(p)
+
+                y0 = jnp.concatenate([kappa0, y_freqs])
+            jac = jax.jacfwd(f)(y0)  # [B, K]
+            if spec.substitution == "HKY":
+                # Reference reports d/d(kappa), not d/d(log kappa).
+                jac = jac.at[:, 0].set(jac[:, 0] / jnp.exp(y0[0]))
+            out["substitution_model"] = np.asarray(jac)
+        if model.site.kind in ("weibull", "gamma"):
+            shape0 = np.asarray(params0["site_model_parameters"])
+            if shape0.ndim == 2:
+                shape0 = shape0[0]
+
+            def g(shape):
+                p = dict(params0)
+                p["site_model_parameters"] = shape
+                return ll_with(p)
+
+            out["site_model"] = np.asarray(
+                jax.jacfwd(g)(jnp.asarray(shape0))
+            )
+        return out
+
+    def unconditional_subsplit_probabilities(self) -> Dict[str, float]:
+        """Reference UnconditionalSubsplitProbabilities via the DAG path:
+        probability of seeing each subsplit in an SBN sample."""
+        from ..dag.subsplit_dag import build_dag_from_topologies
+
+        dag = build_dag_from_topologies(
+            [t.topology for t in self.tree_collection.trees],
+            self.tree_collection.taxon_names,
+        )
+        # Map the instance's normalized SBN parameters onto DAG edges.
+        norm = self.normalized_sbn_parameters()
+        q = np.zeros(dag.edge_count())
+        indexer = self.sbn_support.indexer
+        for e in range(dag.edge_count()):
+            key = dag.edge_pcsp(e).to_string()
+            if key in indexer:
+                q[e] = norm[indexer[key]]
+            else:
+                q[e] = 1.0  # leaf subsplit edges
+        node_probs = dag.unconditional_node_probabilities(q)
+        out = {}
+        for i, ss in enumerate(dag.nodes):
+            if i >= dag.taxon_count and i != dag.root_id:
+                out[ss.to_string()] = float(node_probs[i])
+        return out
+
+    def unconditional_subsplit_probabilities_to_csv(self, path: str):
+        with open(path, "w", newline="") as f:
+            w = _csv.writer(f)
+            for key, val in self.unconditional_subsplit_probabilities().items():
+                w.writerow([key, repr(val)])
 
 
 def unrooted_instance(name: str = "instance") -> UnrootedSBNInstance:

@@ -1,0 +1,277 @@
+"""NNI systematic search over the subsplit DAG.
+
+TPU-native rebuild of the reference NNIEngine
+(reference: src/nni_engine.cpp:197-330, src/nni_operation.hpp:25-90).
+The loop {enumerate adjacent NNIs -> score candidates -> filter ->
+add accepted to DAG -> update sets} is preserved; candidate scoring runs as
+one batched XLA program over all candidates' trees (TP likelihood or
+parsimony), replacing the reference's per-NNI graft/scratch-PLV evaluation.
+
+DAG growth is a rebuild from the accumulated supporting trees rather than
+the reference's incremental AddNodePair + reindexing
+(src/subsplit_dag.hpp:525-565): host-side rebuild cost is trivial next to
+device scoring at these scales, and every epoch yields a fresh
+contiguously-indexed DAG for the levelized schedules.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..core.bitset import PCSP, Subsplit, clade_less, popcount
+from ..core.tree import Topology, Tree, TreeCollection
+from ..core.site_pattern import SitePattern
+from ..dag.subsplit_dag import LEFT, RIGHT, SubsplitDAG, build_dag_from_topologies
+from ..tp.engine import TPEngine
+
+
+@dataclass(frozen=True)
+class NNIOperation:
+    """A proposed parent/child subsplit pair (reference NNIOperation)."""
+
+    parent: Subsplit
+    child: Subsplit
+
+    def key(self) -> Tuple[str, str]:
+        return (self.parent.to_string(), self.child.to_string())
+
+
+def neighboring_nnis(parent: Subsplit, child: Subsplit) -> List[NNIOperation]:
+    """The two NNIs of a central edge: swap the sister clade with the
+    child's left or right clade (reference NNIOperation::GetNeighboringNNI,
+    src/nni_operation.hpp:70-82)."""
+    n = parent.n
+    if child.union == parent.clade0:
+        sister = parent.clade1
+    else:
+        sister = parent.clade0
+    L, R = child.clade0, child.clade1
+    out = []
+    for swapped, kept in ((L, R), (R, L)):
+        # Swap sister <-> `swapped`: new child = (sister, kept), new parent
+        # = (swapped, sister|kept).
+        new_child = Subsplit.of_pair(sister, kept, n)
+        new_parent = Subsplit.of_pair(swapped, sister | kept, n)
+        out.append(NNIOperation(new_parent, new_child))
+    return out
+
+
+class NNIEngine:
+    def __init__(self, dag: SubsplitDAG, site_pattern: SitePattern,
+                 supporting_trees: Sequence[Tree],
+                 scoring: str = "tp_likelihood"):
+        assert scoring in ("tp_likelihood", "tp_parsimony")
+        self.site_pattern = site_pattern
+        self.scoring = scoring
+        self.supporting_trees: List[Tree] = list(supporting_trees)
+        self.dag = dag
+        self.adjacent: Dict[Tuple[str, str], NNIOperation] = {}
+        self.accepted: List[NNIOperation] = []
+        self.rejected: Set[Tuple[str, str]] = set()
+        self.scored: Dict[Tuple[str, str], float] = {}
+        # Filtering scheme
+        self._filter = ("top_k", 1)
+        self.iterations = 0
+        self._rebuild_engines()
+
+    # -- filter schemes (reference src/pybito.cpp:1019-1048) -------------
+    def set_filter_cutoff(self, cutoff: float):
+        self._filter = ("cutoff", cutoff)
+
+    def set_filter_drop_from_best(self, window: float):
+        self._filter = ("drop", window)
+
+    def set_filter_top_k(self, k: int):
+        self._filter = ("top_k", k)
+
+    # -- engines -----------------------------------------------------------
+    def _rebuild_engines(self):
+        self.tp = TPEngine(self.dag, self.site_pattern)
+        self.tp.initialize_choice_map(self.supporting_trees)
+        self.tp.set_branch_lengths_by_taking_first(self.supporting_trees)
+
+    # -- adjacency ---------------------------------------------------------
+    def sync_adjacent_nnis_with_dag(self):
+        """Reference NNIEngine::SyncAdjacentNNIsWithDAG
+        (src/nni_engine.cpp:766): both swaps of every central edge, minus
+        pairs already in the DAG and previously rejected ones."""
+        dag = self.dag
+        existing = set(dag.build_edge_indexer().keys())
+        self.adjacent.clear()
+        for e in range(dag.edge_count()):
+            p_id = int(dag.edge_parent[e])
+            c_id = int(dag.edge_child[e])
+            if p_id == dag.root_id or c_id < dag.taxon_count:
+                continue
+            parent = dag.nodes[p_id]
+            child = dag.nodes[c_id]
+            for nni in neighboring_nnis(parent, child):
+                key = nni.key()
+                pcsp = PCSP.of_parent_child(nni.parent, nni.child).to_string()
+                if pcsp in existing or key in self.rejected:
+                    continue
+                self.adjacent[key] = nni
+
+    # -- candidate trees ---------------------------------------------------
+    def _candidate_tree(self, nni: NNIOperation) -> Optional[Tree]:
+        """Build the proposed top tree for an NNI: take the top tree of the
+        pre-NNI central edge and swap the sister subtree with the
+        appropriate child subtree (the reference's pre->post clade mapping,
+        src/nni_operation.hpp:70-82, realized as host tree surgery)."""
+        dag = self.dag
+        # Find the central (pre-NNI) edge: the DAG edge whose parent/child
+        # clades partition the same three clades.
+        new_parent, new_child = nni.parent, nni.child
+        sister = (new_child.clade0
+                  if new_child.clade0 & new_parent.clade0 == 0 else None)
+        # The pre-NNI pair shares the union; enumerate DAG edges over the
+        # same union whose child splits differently.
+        union = new_parent.union
+        best_edge = None
+        for e in range(dag.edge_count()):
+            p_id = int(dag.edge_parent[e])
+            c_id = int(dag.edge_child[e])
+            if p_id == dag.root_id or c_id < dag.taxon_count:
+                continue
+            p_ss, c_ss = dag.nodes[p_id], dag.nodes[c_id]
+            if p_ss.union != union:
+                continue
+            if {*_three_clades(p_ss, c_ss)} == {*_three_clades(new_parent,
+                                                               new_child)}:
+                best_edge = e
+                break
+        if best_edge is None:
+            return None
+        tree = self.tp.top_tree(best_edge)
+        return _apply_nni_to_tree(tree, dag.nodes[int(dag.edge_parent[best_edge])],
+                                  nni)
+
+    # -- scoring -----------------------------------------------------------
+    def score_adjacent_nnis(self) -> Dict[Tuple[str, str], float]:
+        """Score all adjacent NNIs in one batched program."""
+        keys, trees = [], []
+        for key, nni in self.adjacent.items():
+            t = self._candidate_tree(nni)
+            if t is None:
+                continue
+            keys.append(key)
+            trees.append(t)
+        if not trees:
+            return {}
+        if self.scoring == "tp_parsimony":
+            scores = self.tp.sankoff.run_sankoff(trees)
+            scores = -scores  # lower parsimony is better; negate to rank
+        else:
+            scores = np.asarray(
+                self.tp.like_engine.log_likelihoods(trees, {})
+            )
+        out = dict(zip(keys, map(float, scores)))
+        self.scored.update(out)
+        self._candidate_trees = dict(zip(keys, trees))
+        return out
+
+    def _filter_accept(self, scores: Dict[Tuple[str, str], float]
+                       ) -> List[Tuple[str, str]]:
+        if not scores:
+            return []
+        kind, arg = self._filter
+        items = sorted(scores.items(), key=lambda kv: -kv[1])
+        if kind == "cutoff":
+            return [k for k, v in items if v > arg]
+        if kind == "drop":
+            best = items[0][1]
+            return [k for k, v in items if v > best - arg]
+        return [k for k, v in items[: int(arg)]]
+
+    # -- main loop ----------------------------------------------------------
+    def run(self, max_iter: int = 100, quiet: bool = True) -> int:
+        """Reference NNIEngine::Run (src/nni_engine.cpp:197-277): loop until
+        no adjacent NNI is accepted.  Returns the iteration count."""
+        self.sync_adjacent_nnis_with_dag()
+        self.iterations = 0
+        while self.adjacent and self.iterations < max_iter:
+            scores = self.score_adjacent_nnis()
+            accepted_keys = self._filter_accept(scores)
+            if not quiet:
+                print(f"iter {self.iterations}: {len(self.adjacent)} "
+                      f"adjacent, {len(accepted_keys)} accepted")
+            if not accepted_keys:
+                break
+            for key in scores:
+                if key not in accepted_keys:
+                    self.rejected.add(key)
+            for key in accepted_keys:
+                self.accepted.append(self.adjacent[key])
+                self.supporting_trees.append(self._candidate_trees[key])
+            self._grow_dag()
+            self.sync_adjacent_nnis_with_dag()
+            self.iterations += 1
+        return self.iterations
+
+    def _grow_dag(self):
+        topologies = [t.topology for t in self.supporting_trees]
+        self.dag = build_dag_from_topologies(
+            topologies, self.dag.taxon_names
+        )
+        self._rebuild_engines()
+
+
+def _three_clades(parent: Subsplit, child: Subsplit) -> Tuple[int, int, int]:
+    sister = parent.clade0 if child.union == parent.clade1 else parent.clade1
+    return (sister, child.clade0, child.clade1)
+
+
+def _apply_nni_to_tree(tree: Tree, pre_parent: Subsplit, nni: NNIOperation
+                       ) -> Tree:
+    """Swap subtrees in `tree` to realize the proposed NNI: find the node
+    with the parent's union clade, and rebuild its two-level structure so
+    its children partition as (new_parent.clade0, new_parent.clade1) with
+    the focal side split per new_child."""
+    topo = tree.topology
+    n = topo.num_taxa
+    cl = topo.clades()
+    ch = topo.children()
+    union = nni.parent.union
+    u = next(v for v in range(n, topo.num_nodes) if cl[v] == union)
+    # Collect the three subtree roots: sister + child's two clades.
+    new_parent, new_child = nni.parent, nni.child
+    # The focal clade of the new parent is the one the new child splits.
+    focal = new_child.union
+    sister_clade = new_parent.clade0 if new_parent.clade1 == focal else new_parent.clade1
+    want = {sister_clade, new_child.clade0, new_child.clade1}
+
+    # Find the three subtree roots below u whose clades are `want`.
+    roots: Dict[int, int] = {}
+
+    def find(v):
+        if cl[v] in want and cl[v] not in roots:
+            roots[cl[v]] = v
+            return
+        for c in ch[v]:
+            find(c)
+
+    find(u)
+    assert len(roots) == 3, (roots, want)
+    # Rebuild: u -> (sister_subtree, focal_node -> (childL, childR)).
+    children_new = {v: list(ch[v]) for v in range(topo.num_nodes)}
+    # Reuse u's old focal child node id as the new internal node.
+    old_kids = ch[u]
+    spare = next(k for k in old_kids if k >= n)
+    children_new[spare] = [roots[new_child.clade0], roots[new_child.clade1]]
+    children_new[u] = [roots[sister_clade], spare]
+    from ..core.tree import _renumber
+
+    maxid = topo.num_nodes - 1
+    ch_list = [children_new.get(i, []) for i in range(maxid + 1)]
+    new_topo = _renumber(ch_list, n, topo.root)
+    # Carry branch lengths by clade identity where possible.
+    new_tree = Tree(new_topo, np.full(new_topo.num_nodes, 0.1))
+    old_by_clade = {cl[v]: float(tree.branch_lengths[v])
+                    for v in range(topo.num_nodes - 1)}
+    new_cl = new_topo.clades()
+    for v in range(new_topo.num_nodes - 1):
+        if new_cl[v] in old_by_clade:
+            new_tree.branch_lengths[v] = old_by_clade[new_cl[v]]
+    return new_tree
