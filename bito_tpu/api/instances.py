@@ -96,6 +96,13 @@ class GenericSBNInstance:
     # -- SBN support and training ---------------------------------------
     def process_loaded_trees(self):
         assert self.tree_collection is not None, "Load some trees first"
+        if not self.rooted:
+            # Unrooted instances operate on trifurcating-root trees (the
+            # reference asserts this; we deroot bifurcating-rooted input,
+            # fusing the two root edges).
+            self.tree_collection.trees = [
+                t.deroot() for t in self.tree_collection.trees
+            ]
         counter = {}
         topo_by_key = {}
         for t in self.tree_collection.trees:

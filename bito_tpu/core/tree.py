@@ -223,6 +223,37 @@ class Tree:
     def newick(self, taxon_names: Optional[Sequence[str]] = None) -> str:
         return self.topology.newick(taxon_names, self.branch_lengths)
 
+    def deroot(self) -> "Tree":
+        """Remove a bifurcating root, fusing its two edges (lengths add);
+        no-op when the root is already multifurcating."""
+        topo = self.topology
+        ch = topo.children()
+        root_children = ch[topo.root]
+        if len(root_children) != 2:
+            return self
+        a, b = root_children
+        keep = b if b >= topo.num_taxa else a
+        move = a if keep == b else b
+        assert keep >= topo.num_taxa, "Cannot deroot a two-leaf tree"
+        fused = float(self.branch_lengths[a] + self.branch_lengths[b])
+        new_children = [list(c) for c in ch[:-1]]
+        new_children[keep] = new_children[keep] + [move]
+        old_clades = topo.clades()
+        new_topo = _renumber(new_children, topo.num_taxa, keep)
+        bl = np.zeros(new_topo.num_nodes)
+        by_clade = {
+            old_clades[v]: float(self.branch_lengths[v])
+            for v in range(topo.num_nodes - 1)
+        }
+        new_clades = new_topo.clades()
+        for v in range(new_topo.num_nodes - 1):
+            bl[v] = by_clade.get(new_clades[v], 0.0)
+        # The fused edge carries the sum of the two old root edges.
+        for v in range(new_topo.num_nodes - 1):
+            if new_clades[v] == old_clades[move]:
+                bl[v] = fused
+        return Tree(new_topo, bl)
+
     @staticmethod
     def of_parent_id_vector(parent_ids: Sequence[int]) -> "Tree":
         topo = Topology.of_parent_id_vector(parent_ids)

@@ -80,7 +80,29 @@ class SBNSupport:
 
 def build_support(topology_counter: Dict[Topology, int],
                   taxon_names: Sequence[str], rooted: bool) -> SBNSupport:
-    if rooted:
+    n_taxa = len(taxon_names)
+    native = None
+    if not rooted:
+        try:
+            from .. import _native
+
+            native = _native.unrooted_counters(
+                [t.parents for t in topology_counter],
+                list(topology_counter.values()), n_taxa,
+            )
+        except ImportError:
+            native = None
+    if native is not None:
+        rs_ints, pcsp_ints = native
+        rs_bits = {}
+        for (c0, c1), count in rs_ints.items():
+            ss = Subsplit(c0, c1, n_taxa)
+            rs_bits[ss.to_string()] = ss
+        pcsp_bits = {}
+        for (sister, focal, child), count in pcsp_ints.items():
+            p = PCSP(sister, focal, child, n_taxa)
+            pcsp_bits[p.to_string()] = p
+    elif rooted:
         rs_counter, pcsp_counter, rs_bits, pcsp_bits = maps.rooted_counters(
             topology_counter
         )

@@ -38,9 +38,12 @@ class TreeLikelihoodEngine:
         self.dtype = dtype or jnp.zeros(0).dtype
         S0 = site_pattern.pattern_count
         self.pattern_pad = pruning.pad_patterns(S0)
-        self.tip_partials = jnp.asarray(
-            site_pattern.tip_partials(), dtype=self.dtype
-        )
+        # Pre-pad tips to the lane-aligned pattern count (padded columns are
+        # all-ones "gaps" with weight zero), so the pattern axis can be
+        # sharded across a device mesh directly.
+        tips = np.ones((site_pattern.num_taxa, self.pattern_pad, 4))
+        tips[:, :S0, :] = site_pattern.tip_partials()
+        self.tip_partials = jnp.asarray(tips, dtype=self.dtype)
         w = np.zeros(self.pattern_pad)
         w[:S0] = site_pattern.weights
         self.weights = jnp.asarray(w, dtype=self.dtype)

@@ -1,0 +1,118 @@
+"""Multi-device sharding tests.
+
+The 8-virtual-CPU-device flag must be set before jax initializes, so these
+tests run their payloads in subprocesses with
+XLA_FLAGS=--xla_force_host_platform_device_count=8 (the driver's dryrun
+environment).  Checks:
+  - dryrun_multichip compiles and executes the full training step on an
+    8-device mesh
+  - sharded (dp-over-sites) log likelihoods match the single-device values
+    (SURVEY §4: 1-chip vs N-chip parity with the same schedule)
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_payload(code: str) -> str:
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    pp = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = REPO + (os.pathsep + pp if pp else "")
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=600,
+    )
+    assert out.returncode == 0, f"payload failed:\n{out.stdout}\n{out.stderr}"
+    return out.stdout
+
+
+PRELUDE = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+assert len(jax.devices()) == 8, jax.devices()
+"""
+
+
+class TestMultiDevice:
+    def test_dryrun_multichip(self):
+        out = run_payload(PRELUDE + """
+import importlib.util
+spec = importlib.util.spec_from_file_location(
+    "ge", %r + "/__graft_entry__.py")
+m = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(m)
+m.dryrun_multichip(8)
+""" % REPO)
+        assert "OK" in out
+
+    def test_sharded_ll_matches_single_device(self):
+        out = run_payload(PRELUDE + """
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec
+from bito_tpu.core.newick import parse_newick_file, read_fasta
+from bito_tpu.core.site_pattern import SitePattern
+from bito_tpu.models.phylo_model import PhyloModel, PhyloModelSpecification
+from bito_tpu.treelike.engine import TreeLikelihoodEngine
+from bito_tpu.dist.mesh import make_mesh
+
+coll = parse_newick_file("/root/reference/data/ds1-reduced-5.nwk")
+seqs = read_fasta("/root/reference/data/ds1-reduced-5.fasta")
+sp = SitePattern(seqs, coll.taxon_names)
+engine = TreeLikelihoodEngine(sp, PhyloModel(PhyloModelSpecification()))
+trees = coll.trees
+ll_single = np.asarray(engine.log_likelihoods(trees, {}))
+
+mesh = make_mesh(8)
+# Shard the pattern axis of tips [T, S, A] (axis 1) and weights [S].
+engine.tip_partials = jax.device_put(
+    engine.tip_partials, NamedSharding(mesh, PartitionSpec(None, "sites", None)))
+engine.weights = jax.device_put(
+    engine.weights, NamedSharding(mesh, PartitionSpec("sites")))
+ll_sharded = np.asarray(engine.log_likelihoods(trees, {}))
+np.testing.assert_allclose(ll_sharded, ll_single, rtol=0, atol=1e-9)
+print("SHARDED-PARITY-OK", ll_sharded[:2])
+""")
+        assert "SHARDED-PARITY-OK" in out
+
+    def test_sharded_gradients_match(self):
+        out = run_payload(PRELUDE + """
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec
+from bito_tpu.core.newick import parse_newick_file, read_fasta
+from bito_tpu.core.site_pattern import SitePattern
+from bito_tpu.models.phylo_model import PhyloModel, PhyloModelSpecification
+from bito_tpu.treelike.engine import TreeLikelihoodEngine
+from bito_tpu.dist.mesh import make_mesh
+
+coll = parse_newick_file("/root/reference/data/ds1-reduced-5.nwk")
+seqs = read_fasta("/root/reference/data/ds1-reduced-5.fasta")
+sp = SitePattern(seqs, coll.taxon_names)
+spec = PhyloModelSpecification(substitution="GTR", site="gamma+4")
+engine = TreeLikelihoodEngine(sp, PhyloModel(spec))
+import jax.numpy as jnp
+params = {"substitution_model_rates": jnp.full((6,), 1/6),
+          "substitution_model_frequencies": jnp.full((4,), 0.25),
+          "site_model_parameters": jnp.asarray([0.7])}
+trees = coll.trees
+ll1, g1 = engine.ll_and_branch_gradients(trees, params)
+ll1, g1 = np.asarray(ll1), np.asarray(g1)
+mesh = make_mesh(8)
+engine.tip_partials = jax.device_put(
+    engine.tip_partials, NamedSharding(mesh, PartitionSpec(None, "sites", None)))
+engine.weights = jax.device_put(
+    engine.weights, NamedSharding(mesh, PartitionSpec("sites")))
+ll8, g8 = engine.ll_and_branch_gradients(trees, params)
+np.testing.assert_allclose(np.asarray(ll8), ll1, atol=1e-9)
+np.testing.assert_allclose(np.asarray(g8), g1, atol=1e-8)
+print("SHARDED-GRad-OK")
+""")
+        assert "SHARDED-GRad-OK" in out
