@@ -49,3 +49,23 @@ __all__ = [
     "PhyloModel",
     "PhyloModelSpecification",
 ]
+
+# Flag-name constants (mirror of the reference submodule bito.phylo_flags,
+# src/pybito.cpp:1269-1287).
+from .treelike import phylo_flags as phylo_flags  # noqa: E402
+
+# Gradient/model map-key constants (mirror of bito.phylo_gradient_mapkeys /
+# bito.phylo_model_mapkeys).
+class phylo_gradient_mapkeys:
+    BRANCH_LENGTHS = "branch_lengths"
+    RATIOS_ROOT_HEIGHT = "ratios_root_height"
+    SUBSTITUTION_MODEL = "substitution_model"
+    SITE_MODEL = "site_model"
+    CLOCK_MODEL = "clock_model"
+
+
+class phylo_model_mapkeys:
+    SUBSTITUTION_MODEL_RATES = "substitution_model_rates"
+    SUBSTITUTION_MODEL_FREQUENCIES = "substitution_model_frequencies"
+    SITE_MODEL_PARAMETERS = "site_model_parameters"
+    CLOCK_MODEL_RATES = "clock_model_rates"

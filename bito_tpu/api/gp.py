@@ -80,6 +80,14 @@ class GPInstance:
     def estimate_sbn_parameters(self):
         self.get_gp_engine().estimate_sbn_parameters()
 
+    def calculate_hybrid_marginals(self):
+        """Reference GPInstance::CalculateHybridMarginals
+        (src/gp_instance.cpp:408-417)."""
+        self.get_gp_engine().calculate_hybrid_marginals()
+
+    def get_hybrid_marginals(self) -> np.ndarray:
+        return self.get_gp_engine().hybrid_marginal_log_likelihoods
+
     def hot_start_branch_lengths(self):
         self.get_gp_engine().hot_start_branch_lengths(self.tree_collection)
 
@@ -118,6 +126,45 @@ class GPInstance:
     def build_edge_idx_to_pcsp_map(self) -> Dict[int, str]:
         return {e: self.dag.pretty_edge(e)
                 for e in range(self.dag.edge_count())}
+
+    # -- CSV exports (reference src/gp_instance.hpp:133-140) -------------
+    def branch_lengths_to_csv(self, path: str):
+        import csv as _csv
+
+        with open(path, "w", newline="") as f:
+            w = _csv.writer(f)
+            for key, val in zip(self.dag.pretty_edges(),
+                                self.get_branch_lengths()):
+                w.writerow([key, repr(float(val))])
+
+    def per_gpcsp_log_likelihoods_to_csv(self, path: str):
+        import csv as _csv
+
+        with open(path, "w", newline="") as f:
+            w = _csv.writer(f)
+            for key, val in zip(self.dag.pretty_edges(),
+                                self.get_per_gpcsp_log_likelihoods()):
+                w.writerow([key, repr(float(val))])
+
+    def sbn_parameters_to_csv(self, path: str):
+        import csv as _csv
+
+        with open(path, "w", newline="") as f:
+            w = _csv.writer(f)
+            for key, val in zip(self.dag.pretty_edges(),
+                                self.get_sbn_parameters()):
+                w.writerow([key, repr(float(val))])
+
+    def export_trees_with_gp_branch_lengths(self, path: str):
+        """Reference CurrentlyLoadedTreesWithGPBranchLengths -> newick."""
+        coll = self.currently_loaded_trees_with_gp_branch_lengths()
+        with open(path, "w") as f:
+            f.write(coll.newick())
+
+    def export_all_generated_trees(self, path: str):
+        coll = self.generate_complete_rooted_tree_collection()
+        with open(path, "w") as f:
+            f.write(coll.newick())
 
     def subsplit_dag_to_dot(self, path: str, edge_labels: bool = False):
         with open(path, "w") as f:

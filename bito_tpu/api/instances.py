@@ -39,6 +39,7 @@ from ..sbn.psp import PSPIndexer
 from ..sbn.sampler import TopologySampler
 from ..sbn.support import SBNSupport, build_support
 from ..treelike.engine import TreeLikelihoodEngine
+from ..treelike import phylo_flags as phylo_flags_mod
 
 DOUBLE_MINIMUM = np.finfo(np.float64).min
 
@@ -75,6 +76,7 @@ class GenericSBNInstance:
         self.rescaling = True
         self.rng = np.random.default_rng(0)
         self._topology_counter = None
+        self.phylo_flags: Optional[phylo_flags_mod.PhyloFlags] = None
 
     # -- io -------------------------------------------------------------
     def read_newick_file(self, path: str, sort_taxa: bool = False):
@@ -246,6 +248,27 @@ class GenericSBNInstance:
     def _invalidate_engine(self):
         self.engine = None
 
+    # -- PhyloFlags (reference src/pybito.cpp:577-599) -------------------
+    def init_phylo_flags(self):
+        self.phylo_flags = phylo_flags_mod.PhyloFlags()
+
+    def set_phylo_flag(self, flag_name: str, set_to: bool = True,
+                       set_value: float = 1.0):
+        if self.phylo_flags is None:
+            self.init_phylo_flags()
+        self.phylo_flags.set(flag_name, set_to, set_value)
+
+    def set_phylo_defaults(self, use_defaults: bool = True):
+        if self.phylo_flags is None:
+            self.init_phylo_flags()
+        self.phylo_flags.use_defaults = use_defaults
+
+    def clear_phylo_flags(self):
+        self.phylo_flags = None
+
+    def _resolve_flags(self, flags, use_defaults: bool = True):
+        return phylo_flags_mod.resolve(flags, self.phylo_flags, use_defaults)
+
     def prepare_for_phylo_likelihood(
         self, specification: PhyloModelSpecification, thread_count: int = 1,
         beagle_flags: Sequence[int] = (), use_tip_states: bool = True,
@@ -281,16 +304,20 @@ class GenericSBNInstance:
             d[key] = jnp.asarray(mat[:, start:start + length])
         return d
 
-    def log_likelihoods(self) -> np.ndarray:
+    def log_likelihoods(self, phylo_flags=None, use_defaults: bool = True
+                        ) -> np.ndarray:
         assert self.engine is not None, "prepare_for_phylo_likelihood first"
+        self._resolve_flags(phylo_flags, use_defaults)  # validates names
         return np.asarray(
             self.engine.log_likelihoods(
                 self.tree_collection.trees, self._params_dict()
             )
         )
 
-    def phylo_gradients(self) -> List[PhyloGradient]:
+    def phylo_gradients(self, phylo_flags=None, use_defaults: bool = True
+                        ) -> List[PhyloGradient]:
         assert self.engine is not None, "prepare_for_phylo_likelihood first"
+        self._resolve_flags(phylo_flags, use_defaults)
         trees = self.tree_collection.trees
         ll, grads = self.engine.ll_and_branch_gradients(
             trees, self._params_dict()
@@ -406,14 +433,20 @@ class RootedSBNInstance(GenericSBNInstance):
             bl[i, : N - 1] = tree.branch_lengths[: N - 1] * rates
         return jnp.asarray(bl, dtype=self.engine.dtype)
 
-    def log_likelihoods(self, include_log_det_jacobian: bool = True
+    def log_likelihoods(self, phylo_flags=None, use_defaults: bool = True,
+                        include_log_det_jacobian: Optional[bool] = None
                         ) -> np.ndarray:
         """Rooted log likelihoods; by default includes the log-det Jacobian
-        of the height transform (matching the reference's default
-        PhyloFlags for time trees, src/rooted_sbn_instance.hpp:285-288)."""
+        of the height transform (reference LogLikelihoodFlagOptions default;
+        disable via the INCLUDE_LOG_DET_JACOBIAN_LIKELIHOOD flag)."""
         from ..treelike import rooted as rooted_mod
 
         assert self.engine is not None, "prepare_for_phylo_likelihood first"
+        resolved = self._resolve_flags(phylo_flags, use_defaults)
+        if include_log_det_jacobian is None:
+            include_log_det_jacobian = resolved.is_set(
+                phylo_flags_mod.INCLUDE_LOG_DET_JACOBIAN_LIKELIHOOD
+            )
         ll = np.asarray(
             self.engine.log_likelihoods(
                 self.tree_collection.trees, self._params_dict(),
@@ -442,14 +475,25 @@ class RootedSBNInstance(GenericSBNInstance):
             rooted_mod.gradient_log_det_jacobian(s) for s in self.tree_states
         ]
 
-    def phylo_gradients(self) -> List[PhyloGradient]:
+    def phylo_gradients(self, phylo_flags=None, use_defaults: bool = True
+                        ) -> List[PhyloGradient]:
         """Gradient map per tree: branch_lengths (substitution space),
         ratios_root_height, and model-parameter gradients
         (substitution_model in stick-breaking space, site_model,
-        clock_model) via autodiff."""
+        clock_model) via autodiff.  Selection follows PhyloFlags: a bare
+        call computes everything available; explicit selection flags
+        restrict the map (reference PhyloGradientFlagOptions)."""
         from ..treelike import rooted as rooted_mod
 
         assert self.engine is not None, "prepare_for_phylo_likelihood first"
+        flags = self._resolve_flags(phylo_flags, use_defaults)
+        want_ratios = flags.is_set(phylo_flags_mod.RATIOS_ROOT_HEIGHT)
+        want_subst = flags.is_set(phylo_flags_mod.SUBSTITUTION_MODEL)
+        want_site = flags.is_set(phylo_flags_mod.SITE_MODEL)
+        want_clock = flags.is_set(phylo_flags_mod.CLOCK_MODEL)
+        include_jac = flags.is_set(
+            phylo_flags_mod.INCLUDE_LOG_DET_JACOBIAN_GRADIENT
+        )
         trees = self.tree_collection.trees
         bl = self._subst_branch_lengths()
         ll, grads = self.engine.ll_and_branch_gradients(
@@ -457,21 +501,24 @@ class RootedSBNInstance(GenericSBNInstance):
         )
         ll = np.asarray(ll)
         grads = np.asarray(grads)
-        model_grads = self._model_param_gradients(bl)
+        model_grads = (
+            self._model_param_gradients(bl, want_subst, want_site)
+            if (want_subst or want_site) else {}
+        )
         out = []
         for i, tree in enumerate(trees):
             n_edges = tree.topology.num_nodes
             gmap = {"branch_lengths": grads[i, :n_edges].copy()}
-            if self.tree_states:
+            if self.tree_states and want_ratios:
                 gmap["ratios_root_height"] = (
                     rooted_mod.ratio_gradient_of_branch_gradient(
                         self.tree_states[i], grads[i, :n_edges],
-                        include_log_det_jacobian=True,
+                        include_log_det_jacobian=include_jac,
                     )
                 )
                 # Clock gradient (reference ClockGradient,
                 # src/fat_beagle.cpp:375-399).
-                state = self.tree_states[i]
+            if self.tree_states and want_clock:
                 per_branch = (grads[i, : n_edges - 1]
                               * tree.branch_lengths[: n_edges - 1])
                 gmap["clock_model"] = np.array([per_branch.sum()])
@@ -481,7 +528,9 @@ class RootedSBNInstance(GenericSBNInstance):
             out.append(PhyloGradient(ll[i], gmap))
         return out
 
-    def _model_param_gradients(self, bl) -> Dict[str, np.ndarray]:
+    def _model_param_gradients(self, bl, want_subst: bool = True,
+                               want_site: bool = True
+                               ) -> Dict[str, np.ndarray]:
         """Autodiff gradients wrt substitution (stick-breaking space) and
         site model parameters, per tree."""
         import jax
@@ -516,7 +565,7 @@ class RootedSBNInstance(GenericSBNInstance):
                 category_count=model.category_count,
             )
 
-        if spec.substitution in ("GTR", "HKY"):
+        if want_subst and spec.substitution in ("GTR", "HKY"):
             rates0 = np.asarray(params0["substitution_model_rates"])
             freqs0 = np.asarray(params0["substitution_model_frequencies"])
             if rates0.ndim == 2:
@@ -552,7 +601,7 @@ class RootedSBNInstance(GenericSBNInstance):
                 # Reference reports d/d(kappa), not d/d(log kappa).
                 jac = jac.at[:, 0].set(jac[:, 0] / jnp.exp(y0[0]))
             out["substitution_model"] = np.asarray(jac)
-        if model.site.kind in ("weibull", "gamma"):
+        if want_site and model.site.kind in ("weibull", "gamma"):
             shape0 = np.asarray(params0["site_model_parameters"])
             if shape0.ndim == 2:
                 shape0 = shape0[0]

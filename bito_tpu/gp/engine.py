@@ -95,6 +95,9 @@ class GPEngine:
         self.ls: Optional[jnp.ndarray] = None
         self.per_edge_ll: Optional[jnp.ndarray] = None
         self.log_marginal_site: Optional[jnp.ndarray] = None
+        self.hybrid_marginal_log_likelihoods = np.full(
+            self.schedule.edge_count, -np.inf
+        )
         self._build_programs()
 
     # ------------------------------------------------------------------
@@ -411,11 +414,17 @@ class GPEngine:
         per-parent-segment posterior normalization of q."""
         q = np.asarray(self.q).copy()
         ll = np.asarray(self.per_edge_ll)
+        hybrid = self.hybrid_marginal_log_likelihoods
         for start, end in self.schedule.sbn_segments:
             if end - start == 1:
                 q[start] = 1.0
                 continue
-            seg = ll[start:end] + np.log(q[start:end])
+            # Prefer hybrid marginals when the whole segment has them
+            # (reference UpdateSBNProbabilities, src/gp_engine.cpp:304-321).
+            seg_src = (hybrid[start:end]
+                       if np.all(np.isfinite(hybrid[start:end])) else
+                       ll[start:end])
+            seg = seg_src + np.log(q[start:end])
             seg = seg - seg.max()
             p = np.exp(seg)
             q[start:end] = p / p.sum()
@@ -471,3 +480,114 @@ class GPEngine:
         for e, vals in self._edge_lengths_from_trees(tree_collection).items():
             bl[e] = vals[0]
         self.branch_lengths = jnp.asarray(bl, dtype=self.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Quartet hybrid marginals (reference GPEngine::CalculateQuartetHybridLikelihoods,
+# src/gp_engine.cpp:748-816; requests per GPDAG::QuartetHybridRequestOf,
+# src/gp_dag.cpp:413-458).
+# ---------------------------------------------------------------------------
+def _np_jc69(t: float) -> np.ndarray:
+    e = np.exp(-4.0 * t / 3.0)
+    return 0.25 * (1.0 - e) + e * np.eye(4)
+
+
+class _HybridMixin:
+    def _hybrid_request(self, parent_id: int, is_left: bool, child_id: int):
+        """(rootward, sister, rotated, sorted) tip lists: each entry is
+        (node_id, plv_type, edge_id)."""
+        from ..dag.schedule import P as P_PLV, RLEFT, RRIGHT
+        from ..dag.subsplit_dag import LEFT, RIGHT
+
+        dag = self.dag
+        rootward = []
+        for side in (RIGHT, LEFT):
+            for g, e in dag.rootward[parent_id][side]:
+                if g == dag.root_id:
+                    continue
+                rootward.append((g, RLEFT if side == LEFT else RRIGHT, e))
+        sister_side = RIGHT if is_left else LEFT
+        sister = [(s, P_PLV, e) for s, e in dag.leafward[parent_id][sister_side]]
+        rotated = [(c, P_PLV, e) for c, e in dag.leafward[child_id][LEFT]]
+        sorted_ = [(c, P_PLV, e) for c, e in dag.leafward[child_id][RIGHT]]
+        return rootward, sister, rotated, sorted_
+
+    def calculate_quartet_hybrid_likelihoods(
+        self, parent_id: int, is_left: bool, child_id: int
+    ) -> Optional[np.ndarray]:
+        """Per-combination quartet log likelihoods for the central edge
+        (parent, child); None if the request is not fully formed."""
+        from ..dag.subsplit_dag import LEFT
+
+        dag = self.dag
+        rootward, sister, rotated, sorted_ = self._hybrid_request(
+            parent_id, is_left, child_id
+        )
+        if not (rootward and sister and rotated and sorted_):
+            return None
+        central_edge = dag.edge_to_id[(parent_id, child_id)]
+        plv = np.asarray(self.plv)
+        ls = np.asarray(self.ls)
+        bl = np.asarray(self.branch_lengths)
+        q = np.asarray(self.q)
+        w = np.asarray(self.site_pattern.weights)
+        inv_prior = self.inverted_sbn_prior
+        node_probs = self.unconditional_node_probabilities
+        out = []
+        for (g, g_plv, e_i) in rootward:
+            root_plv = _np_jc69(bl[e_i]) @ plv[g_plv, g]
+            ls_root = ls[g_plv, g]
+            log_prior_g = np.log(node_probs[g])
+            for (s, s_plv, e_j) in sister:
+                r_s = root_plv * (_np_jc69(bl[e_j]) @ plv[s_plv, s])
+                ls_rs = ls_root + ls[s_plv, s]
+                q_s = _np_jc69(bl[central_edge]) @ r_s
+                for (ck, k_plv, e_k) in rotated:
+                    r_sorted = q_s * (_np_jc69(bl[e_k]) @ plv[k_plv, ck])
+                    ls_rsorted = ls_rs + ls[k_plv, ck]
+                    for (cl, l_plv, e_l) in sorted_:
+                        val = np.einsum(
+                            "as,as->s", r_sorted,
+                            _np_jc69(bl[e_l]) @ plv[l_plv, cl],
+                        )
+                        per_site = (
+                            np.log(np.where(val > 0, val, 1e-300))
+                            + ls_rsorted + ls[l_plv, cl] - log_prior_g
+                        )
+                        non_seq = np.log(
+                            inv_prior[e_i] * q[e_j] * q[e_k] * q[e_l]
+                        )
+                        out.append(non_seq + float(per_site @ w))
+        return np.asarray(out)
+
+    def process_quartet_hybrid_request(self, parent_id: int, is_left: bool,
+                                       child_id: int):
+        vals = self.calculate_quartet_hybrid_likelihoods(
+            parent_id, is_left, child_id
+        )
+        if vals is None:
+            return
+        from scipy.special import logsumexp
+
+        central = self.dag.edge_to_id[(parent_id, child_id)]
+        self.hybrid_marginal_log_likelihoods[central] = float(logsumexp(vals))
+
+    def calculate_hybrid_marginals(self):
+        """Reference GPInstance::CalculateHybridMarginals
+        (src/gp_instance.cpp:408-417)."""
+        from ..dag.subsplit_dag import LEFT
+
+        self.populate_plvs()
+        dag = self.dag
+        self.hybrid_marginal_log_likelihoods = np.full(
+            dag.edge_count(), -np.inf
+        )
+        for parent, side, child, edge in dag.topological_edge_traversal():
+            if parent == dag.root_id or child < dag.taxon_count:
+                continue
+            self.process_quartet_hybrid_request(parent, side == LEFT, child)
+
+
+for _name in ("_hybrid_request", "calculate_quartet_hybrid_likelihoods",
+              "process_quartet_hybrid_request", "calculate_hybrid_marginals"):
+    setattr(GPEngine, _name, getattr(_HybridMixin, _name))
