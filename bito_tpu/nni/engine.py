@@ -275,3 +275,73 @@ def _apply_nni_to_tree(tree: Tree, pre_parent: Subsplit, nni: NNIOperation
         if new_cl[v] in old_by_clade:
             new_tree.branch_lengths[v] = old_by_clade[new_cl[v]]
     return new_tree
+
+
+class GPScoredNNIEngine(NNIEngine):
+    """NNI search scored by per-PCSP GP likelihoods of grafted candidates
+    (reference NNIEvalEngineViaGP, src/nni_evaluation_engine.hpp:4-9).
+
+    Per iteration, every adjacent NNI is grafted into one DAG and a single
+    wavefront populate+likelihood program scores all central edges at once;
+    branch lengths carry over from the host engine by PCSP identity (the
+    reference's spare-scratch reuse, src/gp_engine.hpp:151-159)."""
+
+    def __init__(self, dag: SubsplitDAG, site_pattern: SitePattern,
+                 supporting_trees: Sequence[Tree]):
+        super().__init__(dag, site_pattern, supporting_trees,
+                         scoring="tp_likelihood")
+        from ..gp.engine import GPEngine
+
+        self.gp = GPEngine(site_pattern, self.dag)
+        self.gp.estimate_branch_lengths(1e-3, 10)
+
+    def _rebuild_engines(self):
+        super()._rebuild_engines()
+        if hasattr(self, "gp"):
+            from ..gp.engine import GPEngine
+
+            old_bl = dict(zip(self.gp.dag.pretty_edges(),
+                              np.asarray(self.gp.branch_lengths)))
+            self.gp = GPEngine(self.site_pattern, self.dag)
+            self._carry_branch_lengths(self.gp, old_bl)
+            self.gp.estimate_branch_lengths(1e-3, 5)
+
+    @staticmethod
+    def _carry_branch_lengths(engine, old_bl: Dict[str, float]):
+        import jax.numpy as jnp
+
+        bl = np.asarray(engine.branch_lengths).copy()
+        for e, key in enumerate(engine.dag.pretty_edges()):
+            if key in old_bl:
+                bl[e] = old_bl[key]
+        engine.branch_lengths = jnp.asarray(bl, dtype=engine.dtype)
+
+    def score_adjacent_nnis(self) -> Dict[Tuple[str, str], float]:
+        from ..dag.graft import graft_node_pairs
+        from ..gp.engine import GPEngine
+
+        if not self.adjacent:
+            return {}
+        keys = list(self.adjacent.keys())
+        pairs = [(self.adjacent[k].parent, self.adjacent[k].child)
+                 for k in keys]
+        grafted, central = graft_node_pairs(self.dag, pairs)
+        engine = GPEngine(self.site_pattern, grafted)
+        self._carry_branch_lengths(
+            engine,
+            dict(zip(self.gp.dag.pretty_edges(),
+                     np.asarray(self.gp.branch_lengths))),
+        )
+        engine.populate_plvs()
+        engine.compute_likelihoods()
+        ll = engine.per_gpcsp_log_likelihoods()
+        out = {k: float(ll[c]) for k, c in zip(keys, central)}
+        self.scored.update(out)
+        # Candidate trees for DAG growth come from the TP choice maps.
+        self._candidate_trees = {}
+        for k in keys:
+            t = self._candidate_tree(self.adjacent[k])
+            if t is not None:
+                self._candidate_trees[k] = t
+        out = {k: v for k, v in out.items() if k in self._candidate_trees}
+        return out

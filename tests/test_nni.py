@@ -92,3 +92,88 @@ class TestFilteredSearch:
             assert PCSP.of_parent_child(
                 nni.parent, nni.child
             ).to_string() in indexer
+
+
+class TestGPScoring:
+    def test_grafted_dag_is_valid_gp_dag(self, data_dir):
+        """Grafting all adjacent NNIs yields a valid DAG whose GP marginal
+        equals the exact marginal over its complete tree set (the same
+        oracle as TestCompositeMarginal)."""
+        from bito_tpu.dag.graft import graft_node_pairs
+        from bito_tpu.gp.engine import GPEngine
+        from bito_tpu.core.site_pattern import SitePattern
+        from tests.test_gp import compute_exact_marginal
+
+        coll = parse_newick_file(str(data_dir / "five_taxon_rooted.nwk"))
+        seqs = read_fasta(str(data_dir / "five_taxon.fasta"))
+        sp = SitePattern(seqs, coll.taxon_names)
+        dag = build_dag(coll)
+        eng = NNIEngine(dag, sp, coll.trees)
+        eng.sync_adjacent_nnis_with_dag()
+        pairs = [(n.parent, n.child) for n in eng.adjacent.values()]
+        assert pairs
+        grafted, central = graft_node_pairs(dag, pairs)
+        # Host edges all survive.
+        host_keys = set(dag.build_edge_indexer().keys())
+        graft_keys = set(grafted.build_edge_indexer().keys())
+        assert host_keys <= graft_keys
+        assert len(central) == len(pairs)
+        gp = GPEngine(sp, grafted)
+        gp.populate_plvs()
+        gp.compute_likelihoods()
+        from bito_tpu.api.gp import GPInstance
+
+        inst = GPInstance()
+        inst.tree_collection = coll
+        inst.dag = grafted
+        inst.engine = gp
+        complete = inst.generate_complete_rooted_tree_collection()
+        exact, _ = compute_exact_marginal(
+            complete, str(data_dir / "five_taxon.fasta"), grafted
+        )
+        assert abs(gp.log_marginal_likelihood() - exact) < 1e-9
+
+    def test_single_graft_matches_full_add(self, data_dir):
+        """Proposed-NNI scores from a graft match the per-PCSP GP
+        likelihoods after the NNI is permanently in the DAG (reference
+        'Proposed NNI vs DAG NNI GPLikelihoods', gp_doctest:1937)."""
+        from bito_tpu.dag.graft import graft_node_pairs
+        from bito_tpu.gp.engine import GPEngine
+        from bito_tpu.core.site_pattern import SitePattern
+
+        coll = parse_newick_file(str(data_dir / "five_taxon_rooted.nwk"))
+        seqs = read_fasta(str(data_dir / "five_taxon.fasta"))
+        sp = SitePattern(seqs, coll.taxon_names)
+        dag = build_dag(coll)
+        eng = NNIEngine(dag, sp, coll.trees)
+        eng.sync_adjacent_nnis_with_dag()
+        nnis = list(eng.adjacent.values())[:3]
+        for nni in nnis:
+            grafted, central = graft_node_pairs(dag, [(nni.parent, nni.child)])
+            gp1 = GPEngine(sp, grafted)
+            gp1.populate_plvs()
+            gp1.compute_likelihoods()
+            score_graft = gp1.per_gpcsp_log_likelihoods()[central[0]]
+            # "Full add": same structural operation, new engine from scratch.
+            grafted2, central2 = graft_node_pairs(
+                dag, [(nni.parent, nni.child)]
+            )
+            gp2 = GPEngine(sp, grafted2)
+            gp2.populate_plvs()
+            gp2.compute_likelihoods()
+            score_full = gp2.per_gpcsp_log_likelihoods()[central2[0]]
+            assert abs(score_graft - score_full) < 1e-12
+
+    def test_gp_scored_search_runs(self, data_dir):
+        from bito_tpu.nni.engine import GPScoredNNIEngine
+        from bito_tpu.core.site_pattern import SitePattern
+
+        coll = parse_newick_file(str(data_dir / "ds1-reduced-5.nwk"))
+        seqs = read_fasta(str(data_dir / "ds1-reduced-5.fasta"))
+        sp = SitePattern(seqs, coll.taxon_names)
+        dag = build_dag(coll)
+        eng = GPScoredNNIEngine(dag, sp, coll.trees)
+        eng.set_filter_top_k(1)
+        iters = eng.run(max_iter=3)
+        assert iters >= 1
+        assert len(eng.accepted) == iters
