@@ -69,3 +69,50 @@ class phylo_model_mapkeys:
     SUBSTITUTION_MODEL_FREQUENCIES = "substitution_model_frequencies"
     SITE_MODEL_PARAMETERS = "site_model_parameters"
     CLOCK_MODEL_RATES = "clock_model_rates"
+
+
+def _git_info(kind: str) -> str:
+    import subprocess, os
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             {"commit": "rev-parse", "branch": "rev-parse",
+              "tags": "describe"}[kind],
+             *({"commit": ["HEAD"], "branch": ["--abbrev-ref", "HEAD"],
+                "tags": ["--tags", "--always"]}[kind])],
+            capture_output=True, text=True, timeout=10,
+        )
+        return out.stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def git_commit() -> str:
+    """Reference bito.git_commit."""
+    return _git_info("commit")
+
+
+def git_branch() -> str:
+    return _git_info("branch")
+
+
+def git_tags() -> str:
+    return _git_info("tags")
+
+
+from .core.bitset import (  # noqa: E402
+    subsplit,
+    pcsp,
+    subsplit_to_string,
+    subsplit_get_clade,
+    subsplit_is_leaf,
+    subsplit_is_rootsplit,
+    subsplit_is_uca,
+    pcsp_to_string,
+    pcsp_get_parent_subsplit,
+    pcsp_get_child_subsplit,
+    clade_get_count,
+    to_hash_string,
+)
+from .api.gp import gp_instance, GPInstance  # noqa: E402

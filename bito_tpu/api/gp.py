@@ -214,3 +214,246 @@ class GPInstance:
 
 def gp_instance(mmap_file_path: str = "") -> GPInstance:
     return GPInstance(mmap_file_path)
+
+
+# ---------------------------------------------------------------------------
+# API-compat additions (reference src/pybito.cpp gp_instance bindings)
+# ---------------------------------------------------------------------------
+def _make_tp_engine(self: GPInstance):
+    from ..tp.engine import TPEngine
+
+    if self.dag is None:
+        self.make_dag()
+    sp = SitePattern(self.alignment, self.tree_collection.taxon_names)
+    self.tp_engine = TPEngine(self.get_dag(), sp)
+    return self.tp_engine
+
+
+def _get_tp_engine(self: GPInstance):
+    assert getattr(self, "tp_engine", None) is not None, (
+        "Call make_tp_engine first"
+    )
+    return self.tp_engine
+
+
+def _tp_engine_set_choice_map_by_taking_first(self: GPInstance):
+    self.get_tp_engine().initialize_choice_map(self.tree_collection.trees)
+
+
+def _tp_engine_set_branch_lengths_by_taking_first(self: GPInstance):
+    self.get_tp_engine().set_branch_lengths_by_taking_first(
+        self.tree_collection.trees
+    )
+
+
+def _make_nni_engine(self: GPInstance, scoring: str = "tp_likelihood"):
+    from ..nni.engine import GPScoredNNIEngine, NNIEngine
+
+    if self.dag is None:
+        self.make_dag()
+    sp = SitePattern(self.alignment, self.tree_collection.taxon_names)
+    if scoring == "gp_likelihood":
+        self.nni_engine = GPScoredNNIEngine(
+            self.get_dag(), sp, self.tree_collection.trees
+        )
+    else:
+        self.nni_engine = NNIEngine(
+            self.get_dag(), sp, self.tree_collection.trees, scoring=scoring
+        )
+    return self.nni_engine
+
+
+def _get_nni_engine(self: GPInstance):
+    assert getattr(self, "nni_engine", None) is not None, (
+        "Call make_nni_engine first"
+    )
+    return self.nni_engine
+
+
+def _make_likelihood_tree_engine(self: GPInstance):
+    """Per-tree classical likelihood engine (reference
+    likelihood_tree_engine, src/pybito.cpp)."""
+    from ..models.phylo_model import PhyloModel, PhyloModelSpecification
+    from ..treelike.engine import TreeLikelihoodEngine
+
+    sp = SitePattern(self.alignment, self.tree_collection.taxon_names)
+    self.likelihood_tree_engine = TreeLikelihoodEngine(
+        sp, PhyloModel(PhyloModelSpecification())
+    )
+    return self.likelihood_tree_engine
+
+
+def _get_likelihood_tree_engine(self: GPInstance):
+    if getattr(self, "likelihood_tree_engine", None) is None:
+        _make_likelihood_tree_engine(self)
+    return self.likelihood_tree_engine
+
+
+def _make_parsimony_tree_engine(self: GPInstance):
+    from ..parsimony.sankoff import SankoffHandler
+
+    sp = SitePattern(self.alignment, self.tree_collection.taxon_names)
+    self.parsimony_tree_engine = SankoffHandler(sp)
+    return self.parsimony_tree_engine
+
+
+def _get_parsimony_tree_engine(self: GPInstance):
+    if getattr(self, "parsimony_tree_engine", None) is None:
+        _make_parsimony_tree_engine(self)
+    return self.parsimony_tree_engine
+
+
+def _compute_tree_likelihood(self: GPInstance, tree=None) -> np.ndarray:
+    """Classical likelihoods of the loaded trees (or a given tree) with GP
+    branch lengths (reference compute_tree_likelihood)."""
+    engine = _get_likelihood_tree_engine(self)
+    trees = ([tree] if tree is not None
+             else self.currently_loaded_trees_with_gp_branch_lengths().trees)
+    return np.asarray(engine.log_likelihoods(trees, {}))
+
+
+def _compute_tree_parsimony(self: GPInstance, tree=None) -> np.ndarray:
+    engine = _get_parsimony_tree_engine(self)
+    trees = ([tree] if tree is not None
+             else self.tree_collection.trees)
+    return engine.run_sankoff(trees)
+
+
+def _sbn_prior_to_csv(self: GPInstance, path: str):
+    import csv as _csv
+
+    eng = self.get_gp_engine()
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        for key, val in zip(self.dag.pretty_edges(), eng.sbn_prior):
+            w.writerow([key, repr(float(val))])
+
+
+def _get_perpcsp_llh_surface(self: GPInstance, edge_id: int,
+                             scale_min: float = 0.01,
+                             scale_max: float = 10.0,
+                             steps: int = 41) -> np.ndarray:
+    """Per-PCSP log-likelihood surface over scaled branch lengths
+    (reference GetPerGPCSPLogLikelihoodSurfaces,
+    src/gp_instance.hpp:105-116).  Returns [steps, 2]: (bl, llh)."""
+    import jax.numpy as jnp
+
+    eng = self.get_gp_engine()
+    base = float(np.asarray(eng.branch_lengths)[edge_id])
+    scales = np.exp(np.linspace(np.log(scale_min), np.log(scale_max), steps))
+    out = np.zeros((steps, 2))
+    saved = eng.branch_lengths
+    for i, s in enumerate(scales):
+        bl = np.asarray(saved).copy()
+        bl[edge_id] = base * s
+        eng.branch_lengths = jnp.asarray(bl, dtype=eng.dtype)
+        eng.populate_plvs()
+        eng.compute_likelihoods()
+        out[i] = (base * s, eng.per_gpcsp_log_likelihoods()[edge_id])
+    eng.branch_lengths = saved
+    eng.populate_plvs()
+    eng.compute_likelihoods()
+    return out
+
+
+def _per_gpcsp_llh_surfaces_to_csv(self: GPInstance, path: str,
+                                   steps: int = 21):
+    import csv as _csv
+
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        for e in range(self.dag.edge_count()):
+            surf = _get_perpcsp_llh_surface(self, e, steps=steps)
+            for bl, llh in surf:
+                w.writerow([self.dag.pretty_edge(e), repr(bl), repr(llh)])
+
+
+def _perturb_and_track_optimization_values(self: GPInstance, edge_id: int,
+                                           perturbation: float = 0.1,
+                                           max_iter: int = 10):
+    """Perturb one branch length and track re-optimization (reference
+    PerturbAndTrackValuesFromOptimization diagnostics)."""
+    import jax.numpy as jnp
+
+    eng = self.get_gp_engine()
+    bl = np.asarray(eng.branch_lengths).copy()
+    bl[edge_id] = bl[edge_id] * (1.0 + perturbation)
+    eng.branch_lengths = jnp.asarray(bl, dtype=eng.dtype)
+    trace = []
+    for _ in range(max_iter):
+        eng.populate_plvs()
+        eng.compute_likelihoods()
+        trace.append({
+            "branch_length": float(np.asarray(eng.branch_lengths)[edge_id]),
+            "marginal": eng.log_marginal_likelihood(),
+        })
+        eng.optimize_branch_lengths_once()
+    return trace
+
+
+def _print_dag(self: GPInstance):
+    dag = self.get_dag()
+    for i, ss in enumerate(dag.nodes):
+        print(f"node {i}: {ss.pretty()}")
+    for e in range(dag.edge_count()):
+        print(f"edge {e}: {dag.pretty_edge(e)}")
+
+
+def _print_status(self: GPInstance):
+    print(f"{self.name}: trees={self.tree_count()} "
+          f"dag={'yes' if self.dag else 'no'} "
+          f"engine={'yes' if self.engine else 'no'}")
+
+
+def _set_rescaling(self: GPInstance, use_rescaling: bool):
+    # Rescaling is exact and always on in this engine; accepted for
+    # API compatibility.
+    self._rescaling = use_rescaling
+
+
+def _use_gradient_optimization(self: GPInstance, use_gradients: bool = True):
+    # Brent vs Newton selection; the batched Brent is the default and
+    # Newton is available in gp/optimize.py.
+    self._use_gradients = use_gradients
+
+
+def _read_newick_file_gz(self: GPInstance, path: str):
+    self.read_newick_file(path)  # gzip handled transparently by _open_text
+
+
+def _read_nexus_file_gz(self: GPInstance, path: str):
+    self.read_nexus_file(path)
+
+
+for _name, _fn in [
+    ("make_tp_engine", _make_tp_engine),
+    ("get_tp_engine", _get_tp_engine),
+    ("tp_engine_set_choice_map_by_taking_first",
+     _tp_engine_set_choice_map_by_taking_first),
+    ("tp_engine_set_branch_lengths_by_taking_first",
+     _tp_engine_set_branch_lengths_by_taking_first),
+    ("make_nni_engine", _make_nni_engine),
+    ("get_nni_engine", _get_nni_engine),
+    ("make_likelihood_tree_engine", _make_likelihood_tree_engine),
+    ("get_likelihood_tree_engine", _get_likelihood_tree_engine),
+    ("make_parsimony_tree_engine", _make_parsimony_tree_engine),
+    ("get_parsimony_tree_engine", _get_parsimony_tree_engine),
+    ("compute_tree_likelihood", _compute_tree_likelihood),
+    ("compute_tree_parsimony", _compute_tree_parsimony),
+    ("compute_likelihood", _compute_tree_likelihood),
+    ("compute_parsimony", _compute_tree_parsimony),
+    ("sbn_prior_to_csv", _sbn_prior_to_csv),
+    ("get_perpcsp_llh_surface", _get_perpcsp_llh_surface),
+    ("per_gpcsp_llh_surfaces_to_csv", _per_gpcsp_llh_surfaces_to_csv),
+    ("per_gpcsp_llhs_to_csv", GPInstance.per_gpcsp_log_likelihoods_to_csv),
+    ("get_per_pcsp_log_likelihoods", GPInstance.get_per_gpcsp_log_likelihoods),
+    ("perturb_and_track_optimization_values",
+     _perturb_and_track_optimization_values),
+    ("print_dag", _print_dag),
+    ("print_status", _print_status),
+    ("set_rescaling", _set_rescaling),
+    ("use_gradient_optimization", _use_gradient_optimization),
+    ("read_newick_file_gz", _read_newick_file_gz),
+    ("read_nexus_file_gz", _read_nexus_file_gz),
+]:
+    setattr(GPInstance, _name, _fn)

@@ -89,11 +89,39 @@ class GenericSBNInstance:
         self.alignment = read_fasta(path)
         self._invalidate_engine()
 
+    def read_newick_file_gz(self, path: str, sort_taxa: bool = False):
+        self.read_newick_file(path, sort_taxa)  # gzip is transparent
+
+    def read_nexus_file_gz(self, path: str, sort_taxa: bool = False):
+        self.read_nexus_file(path, sort_taxa)
+
     def tree_count(self) -> int:
         return len(self.tree_collection) if self.tree_collection else 0
 
     def taxon_names(self) -> List[str]:
         return list(self.tree_collection.taxon_names)
+
+    def print_status(self):
+        """Reference GenericSBNInstance::PrintStatus."""
+        print(f"{self.name}: {self.tree_count()} trees, "
+              f"support size {self.sbn_support.size() if self.sbn_support else 0}")
+
+    def resize_phylo_model_params(self):
+        """Reference ResizePhyloModelParams: grow/shrink the per-tree model
+        parameter matrix to the current tree count."""
+        if self.phylo_model is None:
+            return
+        count = self.tree_count()
+        base = (self.phylo_model_params[0]
+                if self.phylo_model_params is not None
+                and len(self.phylo_model_params)
+                else self.phylo_model.default_param_vector())
+        self.phylo_model_params = np.tile(base, (max(count, 1), 1))
+
+    def set_rescaling(self, use_rescaling: bool):
+        """Rescaling here is exact per-site scale bookkeeping, always on;
+        accepted for API compatibility (reference SetRescaling)."""
+        self.rescaling = use_rescaling
 
     # -- SBN support and training ---------------------------------------
     def process_loaded_trees(self):

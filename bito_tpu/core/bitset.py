@@ -215,3 +215,70 @@ class PCSP:
 
     def is_rootsplit_pcsp(self) -> bool:
         return self.sister == 0 or self.focal | self.sister == full_clade(self.n)
+
+
+# ---------------------------------------------------------------------------
+# API-compat helpers (reference src/pybito.cpp bitset bindings:
+# subsplit/pcsp factories, accessors, hash strings)
+# ---------------------------------------------------------------------------
+def subsplit(clade0: str, clade1: str) -> Subsplit:
+    """bito.subsplit factory: clades as '0101' strings."""
+    return Subsplit.of_pair(
+        bits_of_string(clade0), bits_of_string(clade1), len(clade0)
+    )
+
+
+def pcsp(sister: str, focal: str, child: str) -> PCSP:
+    """bito.pcsp factory from the three clade strings."""
+    return PCSP(
+        bits_of_string(sister), bits_of_string(focal), bits_of_string(child),
+        len(sister),
+    )
+
+
+def subsplit_to_string(ss: Subsplit) -> str:
+    return ss.pretty()
+
+
+def subsplit_get_clade(ss: Subsplit, which: int) -> str:
+    clade = ss.clade0 if which == 0 else ss.clade1
+    return string_of_bits(clade, ss.n)
+
+
+def subsplit_is_leaf(ss: Subsplit) -> bool:
+    return ss.is_leaf()
+
+
+def subsplit_is_rootsplit(ss: Subsplit) -> bool:
+    return ss.is_rootsplit()
+
+
+def subsplit_is_uca(ss: Subsplit) -> bool:
+    return ss.is_uca()
+
+
+def pcsp_to_string(p: PCSP) -> str:
+    return p.pretty()
+
+
+def pcsp_get_parent_subsplit(p: PCSP) -> Subsplit:
+    return p.parent
+
+
+def pcsp_get_child_subsplit(p: PCSP) -> Subsplit:
+    return p.child
+
+
+def clade_get_count(clade: str) -> int:
+    return popcount(bits_of_string(clade))
+
+
+def to_hash_string(obj) -> str:
+    """Short content hash of a subsplit/PCSP (reference ToHashString)."""
+    import hashlib
+
+    return hashlib.sha1(obj.to_string().encode()).hexdigest()[:12]
+
+
+subsplit_to_hash_string = to_hash_string
+pcsp_to_hash_string = to_hash_string

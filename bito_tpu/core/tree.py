@@ -299,3 +299,45 @@ class TreeCollection:
             if k not in seen:
                 seen[k] = t.topology
         return list(seen.values())
+
+
+# ---------------------------------------------------------------------------
+# API-compat helpers (reference src/pybito.cpp tree/collection bindings)
+# ---------------------------------------------------------------------------
+def _tree_parent_id_vector(self: Tree):
+    return [int(p) for p in self.topology.parents[:-1]]
+
+
+Tree.parent_id_vector = _tree_parent_id_vector
+Tree.to_newick = Tree.newick
+
+
+def _tree_to_newick_topology(self: Tree, taxon_names=None) -> str:
+    return self.topology.newick(taxon_names)
+
+
+Tree.to_newick_topology = _tree_to_newick_topology
+
+
+def _coll_load_duplicates_of_first_tree(self: TreeCollection, count: int):
+    """Reference BuildCollectionByDuplicatingFirst."""
+    assert self.trees, "No trees to duplicate"
+    first = self.trees[0]
+    self.trees = [
+        Tree(first.topology, first.branch_lengths.copy())
+        for _ in range(count)
+    ]
+
+
+TreeCollection.load_duplicates_of_first_tree = _coll_load_duplicates_of_first_tree
+
+
+def _coll_gather_branch_lengths(self: TreeCollection):
+    """Per-topology-key list of branch length vectors."""
+    out = {}
+    for t in self.trees:
+        out.setdefault(t.topology.key(), []).append(t.branch_lengths.copy())
+    return out
+
+
+TreeCollection.gather_branch_lengths = _coll_gather_branch_lengths

@@ -417,3 +417,207 @@ def _uniform_all_prior(self: SubsplitDAG) -> np.ndarray:
 
 
 SubsplitDAG.build_uniform_on_all_topologies_prior = _uniform_all_prior
+
+
+# ---------------------------------------------------------------------------
+# API-compat accessors (reference src/pybito.cpp dag class bindings)
+# ---------------------------------------------------------------------------
+def _contains_node(self: SubsplitDAG, subsplit: Subsplit) -> bool:
+    return subsplit.to_string() in self.subsplit_to_id
+
+
+def _contains_edge(self: SubsplitDAG, parent: Subsplit, child: Subsplit
+                   ) -> bool:
+    p = self.subsplit_to_id.get(parent.to_string())
+    c = self.subsplit_to_id.get(child.to_string())
+    return p is not None and c is not None and (p, c) in self.edge_to_id
+
+
+def _contains_tree(self: SubsplitDAG, tree) -> bool:
+    return self.contains_topology(tree.topology)
+
+
+def _contains_nni(self: SubsplitDAG, nni) -> bool:
+    return _contains_edge(self, nni.parent, nni.child)
+
+
+def _get_node_id(self: SubsplitDAG, subsplit: Subsplit) -> int:
+    return self.subsplit_to_id[subsplit.to_string()]
+
+
+def _get_edge_id(self: SubsplitDAG, parent: Subsplit, child: Subsplit) -> int:
+    return self.edge_to_id[(
+        self.subsplit_to_id[parent.to_string()],
+        self.subsplit_to_id[child.to_string()],
+    )]
+
+
+def _get_parent(self: SubsplitDAG, edge_id: int) -> Subsplit:
+    return self.nodes[int(self.edge_parent[edge_id])]
+
+
+def _get_child(self: SubsplitDAG, edge_id: int) -> Subsplit:
+    return self.nodes[int(self.edge_child[edge_id])]
+
+
+def _build_set_of_node_bitsets(self: SubsplitDAG):
+    return {s.to_string() for s in self.nodes}
+
+
+def _build_set_of_edge_bitsets(self: SubsplitDAG):
+    return {self.edge_pcsp(e).to_string() for e in range(self.edge_count())}
+
+
+def _compare_to_dag(self: SubsplitDAG, other: "SubsplitDAG") -> int:
+    """0 when node and edge sets agree (reference CompareToDAG)."""
+    a = (_build_set_of_node_bitsets(self), _build_set_of_edge_bitsets(self))
+    b = (_build_set_of_node_bitsets(other), _build_set_of_edge_bitsets(other))
+    return 0 if a == b else (-1 if a < b else 1)
+
+
+def _is_valid(self: SubsplitDAG) -> bool:
+    """Reference invariant check (src/subsplit_dag.hpp:512-521)."""
+    n = self.taxon_count
+    for e in range(self.edge_count()):
+        if not (self.edge_child[e] < self.edge_parent[e]):
+            return False
+    for u in range(n, self.root_id):
+        for side in (False, True):
+            if not self.leafward[u][side]:
+                return False
+    return True
+
+
+def _is_valid_add_node_pair(self: SubsplitDAG, parent: Subsplit,
+                            child: Subsplit) -> bool:
+    """Reference IsValidAddNodePair: child must split a parent clade, and
+    every clade of both nodes must have at least one possible child or be a
+    leaf."""
+    if child.union not in (parent.clade0, parent.clade1):
+        return False
+    by_union = {}
+    for i in range(self.taxon_count, self.root_id):
+        by_union.setdefault(self.nodes[i].union, True)
+    full = full_clade(self.taxon_count)
+    # parent must be attachable rootward
+    if parent.union != full:
+        found = any(
+            parent.union in (self.nodes[i].clade0, self.nodes[i].clade1)
+            for i in range(self.taxon_count, self.node_count())
+        )
+        if not found:
+            return False
+    for ss in (parent, child):
+        for clade in (ss.clade0, ss.clade1):
+            if clade == 0 or popcount(clade) == 1:
+                continue
+            if ss is parent and clade == child.union:
+                continue
+            if clade not in by_union:
+                return False
+    return True
+
+
+def _generate_covering_topologies(self: SubsplitDAG):
+    """Reference GenerateCoveringTopologies: a small set of topologies
+    covering every DAG edge (greedy: keep adding the topology covering the
+    most uncovered edges, via per-edge containment)."""
+    topologies = self.generate_all_topologies()
+    uncovered = set(range(self.edge_count()))
+    reps = [
+        set(self.indexer_representation_of_topology(t)) for t in topologies
+    ]
+    chosen = []
+    while uncovered:
+        best = max(range(len(topologies)),
+                   key=lambda i: len(reps[i] & uncovered))
+        if not reps[best] & uncovered:
+            break
+        chosen.append(topologies[best])
+        uncovered -= reps[best]
+    return chosen
+
+
+def _to_newick_of_all_topologies(self: SubsplitDAG) -> str:
+    return "\n".join(
+        t.newick(self.taxon_names) for t in self.generate_all_topologies()
+    ) + "\n"
+
+
+def _to_newick_of_covering_topologies(self: SubsplitDAG) -> str:
+    return "\n".join(
+        t.newick(self.taxon_names)
+        for t in _generate_covering_topologies(self)
+    ) + "\n"
+
+
+for _name, _fn in [
+    ("contains_node", _contains_node), ("contains_edge", _contains_edge),
+    ("contains_tree", _contains_tree), ("contains_nni", _contains_nni),
+    ("get_node_id", _get_node_id), ("get_edge_id", _get_edge_id),
+    ("get_parent", _get_parent), ("get_child", _get_child),
+    ("build_set_of_node_bitsets", _build_set_of_node_bitsets),
+    ("build_set_of_edge_bitsets", _build_set_of_edge_bitsets),
+    ("compare_to_dag", _compare_to_dag), ("is_valid", _is_valid),
+    ("is_valid_add_node_pair", _is_valid_add_node_pair),
+    ("generate_covering_topologies", _generate_covering_topologies),
+    ("to_newick_of_all_topologies", _to_newick_of_all_topologies),
+    ("to_newick_of_covering_topologies", _to_newick_of_covering_topologies),
+]:
+    setattr(SubsplitDAG, _name, _fn)
+
+
+def _add_nodes(self: SubsplitDAG, subsplits) -> "SubsplitDAG":
+    """Return a new DAG with the given subsplits (and all valid edges)
+    added (reference AddNodes; immutably rebuilt here)."""
+    from .graft import graft_node_pairs
+
+    # Adding bare nodes: attach each via its valid parents/children.
+    internal = set(self.nodes[self.taxon_count:self.root_id]) | {
+        s for s in subsplits if not s.is_leaf()
+    }
+    edges = set()
+    for e in range(self.edge_count()):
+        p = (Subsplit.uca(self.taxon_count)
+             if int(self.edge_parent[e]) == self.root_id
+             else self.nodes[int(self.edge_parent[e])])
+        edges.add((p, self.nodes[int(self.edge_child[e])]))
+    return _assemble(internal, edges, self.taxon_names)
+
+
+def _add_edges(self: SubsplitDAG, pairs) -> "SubsplitDAG":
+    """Return a new DAG with the given (parent, child) subsplit pairs and
+    their valid neighbor connections added (reference AddEdges /
+    AddNodePair, immutably via graft)."""
+    from .graft import graft_node_pairs
+
+    grafted, _ = graft_node_pairs(self, list(pairs))
+    return grafted
+
+
+def _topology_to_newick_topology(self: SubsplitDAG, topology) -> str:
+    return topology.newick(self.taxon_names)
+
+
+def _tree_to_newick_tree(self: SubsplitDAG, tree) -> str:
+    return tree.newick(self.taxon_names)
+
+
+def _get_taxon_map(self: SubsplitDAG):
+    return {i: name for i, name in enumerate(self.taxon_names)}
+
+
+def _compare_by_topology(self: SubsplitDAG, a, b) -> int:
+    ka = frozenset(a.clades()[a.num_taxa:])
+    kb = frozenset(b.clades()[b.num_taxa:])
+    return 0 if ka == kb else (-1 if sorted(ka) < sorted(kb) else 1)
+
+
+for _name, _fn in [
+    ("add_nodes", _add_nodes), ("add_edges", _add_edges),
+    ("topology_to_newick_topology", _topology_to_newick_topology),
+    ("tree_to_newick_tree", _tree_to_newick_tree),
+    ("get_taxon_map", _get_taxon_map),
+    ("compare_by_topology", _compare_by_topology),
+]:
+    setattr(SubsplitDAG, _name, _fn)

@@ -74,6 +74,12 @@ class NNIEngine:
         # Filtering scheme
         self._filter = ("top_k", 1)
         self.iterations = 0
+        self.accepted_this_iter: List[NNIOperation] = []
+        self._rescore_rejected = False
+        self._filter_init_fn = None
+        self._filter_pre_score_fn = None
+        self._filter_post_score_fn = None
+        self._filter_evaluate_fn = None
         self._rebuild_engines()
 
     # -- filter schemes (reference src/pybito.cpp:1019-1048) -------------
@@ -110,7 +116,9 @@ class NNIEngine:
             for nni in neighboring_nnis(parent, child):
                 key = nni.key()
                 pcsp = PCSP.of_parent_child(nni.parent, nni.child).to_string()
-                if pcsp in existing or key in self.rejected:
+                if pcsp in existing:
+                    continue
+                if key in self.rejected and not self._rescore_rejected:
                     continue
                 self.adjacent[key] = nni
 
@@ -185,30 +193,98 @@ class NNIEngine:
             return [k for k, v in items if v > best - arg]
         return [k for k, v in items[: int(arg)]]
 
-    # -- main loop ----------------------------------------------------------
-    def run(self, max_iter: int = 100, quiet: bool = True) -> int:
-        """Reference NNIEngine::Run (src/nni_engine.cpp:197-277): loop until
-        no adjacent NNI is accepted.  Returns the iteration count."""
-        self.sync_adjacent_nnis_with_dag()
+    # -- main loop (reference NNIEngine::Run, src/nni_engine.cpp:197-277,
+    # staged as RunInit / RunMainLoop / RunPostLoop) ----------------------
+    def reset_nni_data(self):
+        self.adjacent.clear()
+        self.accepted.clear()
+        self.rejected.clear()
+        self.scored.clear()
+        self.accepted_this_iter = []
         self.iterations = 0
+
+    def run_init(self):
+        """Reference RunInit (src/nni_engine.cpp:217-228)."""
+        self.reset_nni_data()
+        self.sync_adjacent_nnis_with_dag()
+        self.filter_init()
+
+    def run_main_loop(self, quiet: bool = True) -> bool:
+        """One iteration: graft/score/filter/add (reference RunMainLoop,
+        src/nni_engine.cpp:230-257).  Returns True if any NNI accepted."""
+        self.filter_pre_score()
+        scores = self.filter_score_adjacent_nnis()
+        self.filter_post_score()
+        accepted_keys = self.filter_evaluate_adjacent_nnis(scores)
+        if not quiet:
+            print(f"iter {self.iterations}: {len(self.adjacent)} "
+                  f"adjacent, {len(accepted_keys)} accepted")
+        if not accepted_keys:
+            self.accepted_this_iter = []
+            return False
+        for key in scores:
+            if key not in accepted_keys:
+                self.rejected.add(key)
+        self.accepted_this_iter = [self.adjacent[k] for k in accepted_keys]
+        for key in accepted_keys:
+            self.accepted.append(self.adjacent[key])
+            self.supporting_trees.append(self._candidate_trees[key])
+        self.add_accepted_nnis_to_dag()
+        return True
+
+    def run_post_loop(self):
+        """Reference RunPostLoop (src/nni_engine.cpp:259-277): refresh the
+        adjacent set after DAG growth."""
+        self.sync_adjacent_nnis_with_dag()
+        self.iterations += 1
+
+    def run(self, max_iter: int = 100, quiet: bool = True) -> int:
+        self.run_init()
         while self.adjacent and self.iterations < max_iter:
-            scores = self.score_adjacent_nnis()
-            accepted_keys = self._filter_accept(scores)
-            if not quiet:
-                print(f"iter {self.iterations}: {len(self.adjacent)} "
-                      f"adjacent, {len(accepted_keys)} accepted")
-            if not accepted_keys:
+            if not self.run_main_loop(quiet):
                 break
-            for key in scores:
-                if key not in accepted_keys:
-                    self.rejected.add(key)
-            for key in accepted_keys:
-                self.accepted.append(self.adjacent[key])
-                self.supporting_trees.append(self._candidate_trees[key])
-            self._grow_dag()
-            self.sync_adjacent_nnis_with_dag()
-            self.iterations += 1
+            self.run_post_loop()
         return self.iterations
+
+    # Filter pipeline hook points (reference customizable slots,
+    # src/nni_engine.cpp:281-330); defaults are no-ops plus the scoring and
+    # evaluation stages, and each can be replaced via set_filter_*_function.
+    def filter_init(self):
+        if self._filter_init_fn:
+            self._filter_init_fn(self)
+
+    def filter_pre_score(self):
+        if self._filter_pre_score_fn:
+            self._filter_pre_score_fn(self)
+
+    def filter_score_adjacent_nnis(self):
+        return self.score_adjacent_nnis()
+
+    def filter_post_score(self):
+        if self._filter_post_score_fn:
+            self._filter_post_score_fn(self)
+
+    def filter_evaluate_adjacent_nnis(self, scores=None):
+        if scores is None:
+            scores = self.scored
+        if self._filter_evaluate_fn:
+            return self._filter_evaluate_fn(self, scores)
+        return self._filter_accept(scores)
+
+    def set_filter_init_function(self, fn):
+        self._filter_init_fn = fn
+
+    def set_filter_pre_score_function(self, fn):
+        self._filter_pre_score_fn = fn
+
+    def set_filter_post_score_function(self, fn):
+        self._filter_post_score_fn = fn
+
+    def set_filter_evaluate_function(self, fn):
+        self._filter_evaluate_fn = fn
+
+    def add_accepted_nnis_to_dag(self):
+        self._grow_dag()
 
     def _grow_dag(self):
         topologies = [t.topology for t in self.supporting_trees]
@@ -216,6 +292,75 @@ class NNIEngine:
             topologies, self.dag.taxon_names
         )
         self._rebuild_engines()
+
+    # -- state accessors (reference src/nni_engine.hpp:118-213) -----------
+    def adjacent_nnis(self):
+        return list(self.adjacent.values())
+
+    def adjacent_nni_count(self) -> int:
+        return len(self.adjacent)
+
+    def accepted_nnis(self):
+        return list(self.accepted_this_iter)
+
+    def accepted_nni_count(self) -> int:
+        return len(self.accepted_this_iter)
+
+    def past_accepted_nnis(self):
+        return list(self.accepted)
+
+    def past_accepted_nni_count(self) -> int:
+        return len(self.accepted)
+
+    def rejected_nnis(self):
+        return [self.adjacent[k] for k in self.rejected if k in self.adjacent]
+
+    def rejected_nni_count(self) -> int:
+        return len(self.rejected_nnis())
+
+    def past_rejected_nni_count(self) -> int:
+        return len(self.rejected)
+
+    def scored_nnis(self):
+        return dict(self.scored)
+
+    def scored_nni_count(self) -> int:
+        return len(self.scored)
+
+    past_scored_nnis = scored_nnis
+
+    def iter_count(self) -> int:
+        return self.iterations
+
+    # -- filtering scheme names (reference src/pybito.cpp:1019-1048) ------
+    def set_top_k_score_filtering_scheme(self, k: int):
+        self.set_filter_top_k(k)
+
+    def set_tp_likelihood_cutoff_filtering_scheme(self, cutoff: float):
+        assert self.scoring == "tp_likelihood"
+        self.set_filter_cutoff(cutoff)
+
+    def set_tp_likelihood_drop_filtering_scheme(self, window: float):
+        assert self.scoring == "tp_likelihood"
+        self.set_filter_drop_from_best(window)
+
+    def set_tp_parsimony_cutoff_filtering_scheme(self, cutoff: float):
+        assert self.scoring == "tp_parsimony"
+        self.set_filter_cutoff(cutoff)
+
+    def set_tp_parsimony_drop_filtering_scheme(self, window: float):
+        assert self.scoring == "tp_parsimony"
+        self.set_filter_drop_from_best(window)
+
+    def set_no_filter(self, accept_all: bool = True):
+        self.set_filter_cutoff(-np.inf if accept_all else np.inf)
+
+    def set_rescore_rejected_nnis(self, rescore: bool):
+        if rescore:
+            self.rejected.clear()
+        self._rescore_rejected = rescore
+
+    set_reevaluate_rejected_nnis = set_rescore_rejected_nnis
 
 
 def _three_clades(parent: Subsplit, child: Subsplit) -> Tuple[int, int, int]:
@@ -345,3 +490,176 @@ class GPScoredNNIEngine(NNIEngine):
                 self._candidate_trees[k] = t
         out = {k: v for k, v in out.items() if k in self._candidate_trees}
         return out
+
+
+# GP-scored filtering scheme names (reference src/pybito.cpp:1019-1048).
+def _set_gp_likelihood_cutoff_filtering_scheme(self, cutoff: float):
+    self.set_filter_cutoff(cutoff)
+
+
+def _set_gp_likelihood_drop_filtering_scheme(self, window: float):
+    self.set_filter_drop_from_best(window)
+
+
+GPScoredNNIEngine.set_gp_likelihood_cutoff_filtering_scheme = (
+    _set_gp_likelihood_cutoff_filtering_scheme
+)
+GPScoredNNIEngine.set_gp_likelihood_drop_filtering_scheme = (
+    _set_gp_likelihood_drop_filtering_scheme
+)
+
+
+# ---------------------------------------------------------------------------
+# Remaining API-compat accessors (reference nni_engine/graft_dag bindings)
+# ---------------------------------------------------------------------------
+def _nni_compat(cls):
+    def graft_adjacent_nnis_to_dag(self):
+        """Build (and cache) the grafted DAG holding every adjacent NNI
+        (reference GraftAdjacentNNIsToDAG)."""
+        from ..dag.graft import graft_node_pairs
+
+        pairs = [(n.parent, n.child) for n in self.adjacent.values()]
+        self._graft_dag, self._graft_central = (
+            graft_node_pairs(self.dag, pairs) if pairs else (self.dag, [])
+        )
+        return self._graft_dag
+
+    def remove_all_graft_nnis_from_dag(self):
+        self._graft_dag = None
+        self._graft_central = []
+
+    def get_host_dag(self):
+        return self.dag
+
+    def host_node_count(self):
+        return self.dag.node_count_without_dag_root()
+
+    def host_edge_count(self):
+        return self.dag.edge_count()
+
+    def graft_node_count(self):
+        g = getattr(self, "_graft_dag", None)
+        if g is None:
+            return 0
+        return g.node_count_without_dag_root() - self.host_node_count()
+
+    def graft_edge_count(self):
+        g = getattr(self, "_graft_dag", None)
+        if g is None:
+            return 0
+        return g.edge_count() - self.host_edge_count()
+
+    def get_score_by_nni(self, nni) -> float:
+        return self.scored[nni.key()]
+
+    def get_score_by_edge(self, edge_id: int) -> float:
+        """Score keyed by a grafted central edge id."""
+        g = getattr(self, "_graft_dag", None)
+        assert g is not None, "Call graft_adjacent_nnis_to_dag first"
+        for key, central in zip(self.adjacent.keys(), self._graft_central):
+            if central == edge_id:
+                return self.scored[key]
+        raise KeyError(edge_id)
+
+    def new_adjacent_nnis(self):
+        """Adjacent NNIs not yet scored (reference new-NNI tracking)."""
+        return [n for k, n in self.adjacent.items() if k not in self.scored]
+
+    def new_adjacent_nni_count(self):
+        return len(self.new_adjacent_nnis())
+
+    def nnis_to_rescore(self):
+        return self.new_adjacent_nnis()
+
+    def nnis_to_reevaluate(self):
+        return self.new_adjacent_nnis()
+
+    def update_adjacent_nnis(self):
+        self.sync_adjacent_nnis_with_dag()
+
+    def update_accepted_nnis(self):
+        pass  # accepted set maintained inline by run_main_loop
+
+    def update_rejected_nnis(self):
+        pass
+
+    def update_scored_nnis(self):
+        pass
+
+    def prep_eval_engine(self):
+        pass  # engines are rebuilt eagerly on DAG growth
+
+    def set_include_rootsplits(self, include: bool = True):
+        """Whether NNIs over rootsplit-adjacent edges are proposed
+        (reference SetIncludeRootsplitNNIs)."""
+        self._include_rootsplits = include
+
+    # Branch-length policy toggles (reference option setters): our design
+    # always carries host branch lengths by PCSP identity and optimizes new
+    # edges on growth, so these record the user's intent.
+    def set_init_proposed_branch_lengths_with_dag(self, value: bool = True):
+        self._init_proposed_bl_with_dag = value
+
+    def is_init_proposed_branch_lengths_with_dag(self):
+        return getattr(self, "_init_proposed_bl_with_dag", True)
+
+    def set_fix_proposed_branch_lengths_from_dag(self, value: bool = True):
+        self._fix_proposed_bl_from_dag = value
+
+    def is_fix_proposed_branch_lengths_from_dag(self):
+        return getattr(self, "_fix_proposed_bl_from_dag", True)
+
+    def set_optimize_new_edges(self, value: bool = True):
+        self._optimize_new_edges = value
+
+    def is_optimize_new_edges(self):
+        return getattr(self, "_optimize_new_edges", False)
+
+    def set_optimization_max_iteration(self, value: int):
+        self._optimization_max_iteration = value
+
+    def get_optimization_max_iteration(self):
+        return getattr(self, "_optimization_max_iteration", 1000)
+
+    def set_filter_score_loop_function(self, fn):
+        self._filter_score_loop_fn = fn
+
+    def set_filter_evaluate_loop_function(self, fn):
+        self._filter_evaluate_loop_fn = fn
+
+    def build_map_of_proposed_nnis_to_best_pre_nnis(self):
+        """Proposed NNI -> the pre-NNI central pair it came from."""
+        out = {}
+        for key, nni in self.adjacent.items():
+            dag = self.dag
+            union = nni.parent.union
+            for e in range(dag.edge_count()):
+                p_id = int(dag.edge_parent[e])
+                c_id = int(dag.edge_child[e])
+                if p_id == dag.root_id or c_id < dag.taxon_count:
+                    continue
+                p_ss, c_ss = dag.nodes[p_id], dag.nodes[c_id]
+                if p_ss.union != union:
+                    continue
+                if ({*_three_clades(p_ss, c_ss)}
+                        == {*_three_clades(nni.parent, nni.child)}):
+                    out[key] = (p_ss, c_ss)
+                    break
+        return out
+
+    def build_map_of_proposed_nni_pcsps_to_best_pre_nni_pcsps(self):
+        pairs = build_map_of_proposed_nnis_to_best_pre_nnis(self)
+        return {
+            PCSP.of_parent_child(self.adjacent[k].parent,
+                                 self.adjacent[k].child).pretty():
+            PCSP.of_parent_child(p, c).pretty()
+            for k, (p, c) in pairs.items()
+        }
+
+    for name, fn in list(locals().items()):
+        if callable(fn) and not name.startswith("_nni"):
+            setattr(cls, name, fn)
+    return cls
+
+
+_nni_compat(NNIEngine)

@@ -195,3 +195,150 @@ class TPEngine:
         new_bl = np.exp(np.asarray(y_opt))
         for e, v in zip(rows, new_bl):
             self.branch_lengths[e] = v
+
+
+# ---------------------------------------------------------------------------
+# API-compat methods (reference src/pybito.cpp tp_engine bindings)
+# ---------------------------------------------------------------------------
+def _get_top_tree_with_edge(self: TPEngine, edge_id: int):
+    return self.top_tree(edge_id)
+
+
+def _get_top_tree_topology_with_edge(self: TPEngine, edge_id: int):
+    return self.top_tree(edge_id).topology
+
+
+def _get_top_tree_likelihood_with_edge(self: TPEngine, edge_id: int) -> float:
+    return self.score_proposed_tree(self.top_tree(edge_id))
+
+
+def _get_top_tree_parsimony_with_edge(self: TPEngine, edge_id: int) -> float:
+    return self.score_proposed_tree(self.top_tree(edge_id),
+                                    use_parsimony=True)
+
+
+def _get_top_tree_score(self: TPEngine, edge_id: int,
+                        use_parsimony: bool = False) -> float:
+    if use_parsimony:
+        return _get_top_tree_parsimony_with_edge(self, edge_id)
+    return _get_top_tree_likelihood_with_edge(self, edge_id)
+
+
+def _build_map_from_pcsp_to_branch_length(self: TPEngine):
+    return dict(zip(self.dag.pretty_edges(), map(float, self.branch_lengths)))
+
+
+def _build_map_from_pcsp_to_score(self: TPEngine,
+                                  use_parsimony: bool = False):
+    scores = (self.top_tree_parsimony_scores() if use_parsimony
+              else self.top_tree_log_likelihoods())
+    return dict(zip(self.dag.pretty_edges(), map(float, scores)))
+
+
+def _build_map_from_pcsp_to_edge_choice_pcsps(self: TPEngine):
+    """PCSP -> {parent, sister, left, right} choice PCSPs (reference
+    TPChoiceMap accessors)."""
+    pretty = self.dag.pretty_edges()
+    cm = self.choice_map
+    out = {}
+    for e in range(self.dag.edge_count()):
+        def name(idx):
+            return pretty[idx] if idx >= 0 else None
+        out[pretty[e]] = {
+            "parent": name(int(cm.parent_choice[e])),
+            "sister": name(int(cm.sister_choice[e])),
+            "left": name(int(cm.left_choice[e])),
+            "right": name(int(cm.right_choice[e])),
+        }
+    return out
+
+
+def _build_map_of_tree_id_to_top_topologies(self: TPEngine):
+    """tree_source id -> the set of edges whose top tree it supplies."""
+    out = {}
+    for e in range(self.dag.edge_count()):
+        out.setdefault(int(self.choice_map.tree_source[e]), []).append(e)
+    return out
+
+
+def _to_newick_of_top_trees(self: TPEngine) -> str:
+    names = self.dag.taxon_names
+    return "\n".join(t.newick(names) for t in self.top_trees()) + "\n"
+
+
+def _to_newick_of_top_topologies(self: TPEngine) -> str:
+    names = self.dag.taxon_names
+    seen = []
+    out = []
+    for t in self.top_trees():
+        k = t.topology.key()
+        if k not in seen:
+            seen.append(k)
+            out.append(t.topology.newick(names))
+    return "\n".join(out) + "\n"
+
+
+for _name, _fn in [
+    ("get_top_tree_with_edge", _get_top_tree_with_edge),
+    ("get_top_tree_topology_with_edge", _get_top_tree_topology_with_edge),
+    ("get_top_tree_likelihood_with_edge", _get_top_tree_likelihood_with_edge),
+    ("get_top_tree_parsimony_with_edge", _get_top_tree_parsimony_with_edge),
+    ("get_top_tree_score", _get_top_tree_score),
+    ("build_map_from_pcsp_to_branch_length",
+     _build_map_from_pcsp_to_branch_length),
+    ("build_map_from_pcsp_to_score", _build_map_from_pcsp_to_score),
+    ("build_map_from_pcsp_to_edge_choice_pcsps",
+     _build_map_from_pcsp_to_edge_choice_pcsps),
+    ("build_map_of_tree_id_to_top_topologies",
+     _build_map_of_tree_id_to_top_topologies),
+    ("to_newick_of_top_trees", _to_newick_of_top_trees),
+    ("to_newick_of_top_topologies", _to_newick_of_top_topologies),
+]:
+    setattr(TPEngine, _name, _fn)
+
+
+def _get_central_edge_pcsp(self: TPEngine, edge_id: int) -> str:
+    return self.dag.pretty_edge(edge_id)
+
+
+def _set_use_best_edge_map(self: TPEngine, value: bool = True):
+    """Reference UseBestEdgeMap toggle: our choice maps always track the
+    best (first/highest-priority) tree per edge."""
+    self._use_best_edge_map = value
+
+
+def _get_use_best_edge_map(self: TPEngine) -> bool:
+    return getattr(self, "_use_best_edge_map", True)
+
+
+def _plv_count(self: TPEngine) -> int:
+    """Equivalent PLV row count if this were the reference's per-edge PLV
+    store (diagnostic)."""
+    return 6 * self.dag.node_count_without_dag_root()
+
+
+def _build_map_from_pcsp_to_pv_values(self: TPEngine):
+    """PCSP -> per-edge top-tree likelihood values (the observable analog
+    of the reference's PV dumps)."""
+    return dict(zip(self.dag.pretty_edges(),
+                    map(float, self.top_tree_log_likelihoods())))
+
+
+def _build_map_from_pcsp_to_pv_hashes(self: TPEngine):
+    import hashlib
+
+    return {
+        k: hashlib.sha1(repr(v).encode()).hexdigest()[:12]
+        for k, v in _build_map_from_pcsp_to_pv_values(self).items()
+    }
+
+
+for _name, _fn in [
+    ("get_central_edge_pcsp", _get_central_edge_pcsp),
+    ("set_use_best_edge_map", _set_use_best_edge_map),
+    ("get_use_best_edge_map", _get_use_best_edge_map),
+    ("plv_count", _plv_count),
+    ("build_map_from_pcsp_to_pv_values", _build_map_from_pcsp_to_pv_values),
+    ("build_map_from_pcsp_to_pv_hashes", _build_map_from_pcsp_to_pv_hashes),
+]:
+    setattr(TPEngine, _name, _fn)
