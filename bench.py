@@ -66,6 +66,7 @@ def main():
     # must not be billed to the kernel.
     iters = int(os.environ.get("BENCH_ITERS", "40"))
     enc = engine.encode(trees)
+    lev = engine.encode_leveled(trees)
     base_bl = engine.branch_length_matrix(trees, enc)
     eig, rates, props, clock = engine._model_ingredients(params, batch)
     from bito_tpu.treelike import pruning as pruning_mod

