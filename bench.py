@@ -137,6 +137,31 @@ def main():
         "vs_baseline": round(evals_per_sec / BITO_CPU_BASELINE_EVALS_PER_SEC,
                              3),
     }))
+    sys.stdout.flush()
+
+    # Parity check (float64 on-device vs the reference's pybeagle goldens,
+    # src/unrooted_sbn_instance.hpp:252-257); stderr-only, after the JSON
+    # line so a slow compile cannot cost the measurement.
+    if os.environ.get("BENCH_PARITY", "1") == "1":
+        try:
+            jax.config.update("jax_enable_x64", True)
+            engine64 = TreeLikelihoodEngine(
+                sp, PhyloModel(PhyloModelSpecification())
+            )
+            ll64 = np.asarray(engine64.log_likelihoods(coll.trees, {}))
+            gold = np.array([
+                -14582.995273982739, -6911.294207416366, -6916.880235529542,
+                -6904.016888831189, -6915.055570693576, -6915.50496696512,
+                -6910.958836661867, -6909.02639968063, -6912.967861935749,
+                -6910.7871105783515,
+            ])
+            print(f"# f64 parity vs pybeagle goldens: "
+                  f"max|diff| = {np.abs(ll64 - gold).max():.3e}",
+                  file=sys.stderr)
+        except Exception as exc:  # parity is informational
+            print(f"# f64 parity check failed: {exc}", file=sys.stderr)
+        finally:
+            jax.config.update("jax_enable_x64", False)
 
 
 if __name__ == "__main__":

@@ -209,3 +209,46 @@ class TestNewick:
         assert coll.num_taxa == 27
         assert coll.taxon_names[0] == "Alligator_mississippiensis"
         assert len(coll.trees) == 10
+
+
+class TestPallasKernel:
+    def test_pallas_matches_scan_path(self, data_dir):
+        """The VMEM-resident Pallas postorder kernel (interpret mode on CPU)
+        agrees with the scan tape."""
+        import jax.numpy as jnp
+
+        from bito_tpu.treelike import pallas_pruning
+
+        spec = PhyloModelSpecification(substitution="GTR", site="gamma+4")
+        coll, engine, model = make_engine(
+            "DS1.fasta", "DS1.subsampled_10.t", spec=spec, nexus=True,
+            data_dir=data_dir,
+        )
+        trees = coll.trees[:3]
+        params = {
+            "substitution_model_rates": jnp.asarray(
+                [0.1, 0.3, 0.1, 0.2, 0.25, 0.05]
+            ),
+            "substitution_model_frequencies": jnp.asarray(
+                [0.3, 0.25, 0.2, 0.25]
+            ),
+            "site_model_parameters": jnp.asarray([0.5]),
+        }
+        ll_ref = np.asarray(engine.log_likelihoods(trees, params))
+        enc = engine.encode(trees)
+        bl = engine.branch_length_matrix(trees, enc)
+        eig, rates, props, clock = engine._model_ingredients(
+            params, len(trees)
+        )
+        sp = engine.site_pattern
+        P_blk, tips_flat, piprop, w = pallas_pruning.prepare_inputs(
+            enc, jnp.asarray(sp.tip_partials(), jnp.float32), sp.weights,
+            eig, rates, props, clock, bl, engine.pattern_pad,
+        )
+        ll_pl = np.asarray(pallas_pruning.pallas_log_likelihoods(
+            jnp.asarray(enc.post_ops), jnp.asarray(enc.root), P_blk,
+            tips_flat, piprop, w, num_slots=enc.num_slots,
+            category_count=4, s_tile=512, interpret=True,
+        ))
+        # float32 kernel vs float64 reference: relative agreement.
+        np.testing.assert_allclose(ll_pl, ll_ref, rtol=1e-6)
