@@ -84,8 +84,9 @@ def dag_to_dot(fasta_path, newick_path, output_path, edge_labels):
         import graphviz
 
         graphviz.render("dot", "svg", output_path)
-    except ImportError:
-        print(f"graphviz not installed; wrote {output_path} only")
+    except Exception as exc:  # graphviz package or dot binary missing
+        print(f"graphviz rendering unavailable ({exc}); "
+              f"wrote {output_path} only")
 
 
 cli = click.CommandCollection(sources=[cli_benchmark, cli_dag_to_dot])
