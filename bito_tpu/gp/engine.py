@@ -64,6 +64,21 @@ def jc69_transition_derivative(t: jnp.ndarray) -> jnp.ndarray:
     return -0.25 * e[..., None, None] + e[..., None, None] * eye
 
 
+def _pad_stack(arrays: List[np.ndarray], pad_value: int,
+               dtype=np.int32) -> np.ndarray:
+    """Stack variable-length 1-D index arrays into [L, W] with padding.
+
+    Padding rows index dummy slots (node N / edge E) so a single traced
+    scan body serves every level — the XLA program size becomes
+    independent of the DAG's level count (vs the per-level python unroll,
+    whose first compile grew linearly with DAG depth)."""
+    W = max([len(a) for a in arrays] + [1])
+    out = np.full((len(arrays), W), pad_value, dtype=dtype)
+    for i, a in enumerate(arrays):
+        out[i, : len(a)] = a
+    return out
+
+
 class GPEngine:
     def __init__(self, site_pattern: SitePattern, dag: SubsplitDAG,
                  dtype=None):
@@ -106,34 +121,34 @@ class GPEngine:
     def _build_programs(self):
         sch = self.schedule
         N = sch.node_count
+        Np1 = N + 1                     # slot N is the dummy (padding) node
+        E = sch.edge_count              # slot E is the dummy (padding) edge
         n_taxa = sch.taxon_count
         S = self.S
         dtype = self.dtype
         NEG = jnp.asarray(-jnp.inf, dtype)
 
-        def accumulate(plv, ls, entries: LevelEntries, trans_all, q,
-                       dest_plv_of_entry, src_is_r=False):
+        def accumulate(plv, ls, edge, dest, src, src_plv, trans_all, q_ext,
+                       dest_plv):
             """Scatter-accumulate q-weighted evolved PLVs into fresh dest
-            slots, aligning per-site scales to the per-dest max."""
-            e = jnp.asarray(entries.edge)
-            dest = jnp.asarray(entries.dest)
-            src = jnp.asarray(entries.src)
-            src_plv = jnp.asarray(entries.src_plv)
+            slots, aligning per-site scales to the per-dest max.  Padding
+            entries carry q_ext[E] == 0 and dest == N, so they contribute
+            zero and land in the dummy slot."""
             src_vals = plv[src_plv, src]          # [K, 4, S]
             src_ls = ls[src_plv, src]             # [K, S]
-            key = dest_plv_of_entry * N + dest    # [K] flat (plv_type, node)
-            ls_max = jnp.full((6 * N, S), NEG).at[key].max(src_ls)
+            key = dest_plv * Np1 + dest           # [K] flat (plv_type, node)
+            ls_max = jnp.full((6 * Np1, S), NEG).at[key].max(src_ls)
             factor = jnp.exp(src_ls - ls_max[key])
             contrib = (
-                q[e][:, None, None]
-                * jnp.einsum("kab,kbs->kas", trans_all[e], src_vals,
+                q_ext[edge][:, None, None]
+                * jnp.einsum("kab,kbs->kas", trans_all[edge], src_vals,
                              precision=Precision)
                 * factor[:, None, :]
             )
-            acc = jnp.zeros((6 * N, 4, S), dtype).at[key].add(contrib)
-            return acc.reshape(6, N, 4, S), jnp.where(
+            acc = jnp.zeros((6 * Np1, 4, S), dtype).at[key].add(contrib)
+            return acc.reshape(6, Np1, 4, S), jnp.where(
                 jnp.isfinite(ls_max), ls_max, 0.0
-            ).reshape(6, N, S)
+            ).reshape(6, Np1, S)
 
         def write_levels(plv, ls, acc, acc_ls, plv_types, nodes):
             for ptype in plv_types:
@@ -153,40 +168,89 @@ class GPEngine:
         rootsplit_nodes = jnp.asarray(sch.rootsplit_nodes)
         rootsplit_edges = jnp.asarray(sch.rootsplit_edges)
 
-        def populate(bl, q):
-            trans = jc69_transition(bl)           # [E, 4, 4]
-            plv = jnp.zeros((6, N, 4, S), dtype)
-            ls = jnp.zeros((6, N, S), dtype)
-            plv = plv.at[P, :n_taxa].set(self.tips)
-            # Rootward: phat accumulation + P multiply per level.
-            for lvl in sch.rootward:
-                nodes = jnp.asarray(lvl.nodes)
-                dest_plv = jnp.where(jnp.asarray(lvl.dest_side),
-                                     PHAT_LEFT, PHAT_RIGHT)
-                acc, acc_ls = accumulate(plv, ls, lvl, trans, q, dest_plv)
-                plv, ls = write_levels(plv, ls, acc, acc_ls,
-                                       (PHAT_RIGHT, PHAT_LEFT), nodes)
-                plv, ls = multiply_rescale(plv, ls, P, PHAT_LEFT, PHAT_RIGHT,
-                                           nodes)
-            # Leafward: seed rootsplits' RHat with q * stationary
-            # (reference SetToStationaryDistribution, src/gp_engine.cpp:218).
+        # -- stacked (padded) per-level index tensors ----------------------
+        # One lax.scan body serves every level; the traced program size is
+        # independent of DAG depth (the per-level unroll compiled in O(depth)
+        # and took minutes on deep DAGs).
+        def stack_entries(levels: List[LevelEntries]):
+            return dict(
+                edge=jnp.asarray(_pad_stack([l.edge for l in levels], E)),
+                dest=jnp.asarray(_pad_stack([l.dest for l in levels], N)),
+                side=jnp.asarray(_pad_stack(
+                    [l.dest_side.astype(np.int32) for l in levels], 0)),
+                src=jnp.asarray(_pad_stack([l.src for l in levels], N)),
+                src_plv=jnp.asarray(_pad_stack([l.src_plv for l in levels],
+                                               0)),
+                nodes=jnp.asarray(_pad_stack([l.nodes for l in levels], N)),
+            )
+
+        rw = stack_entries(sch.rootward) if sch.rootward else None
+        lw = stack_entries(sch.leafward)
+        # Leafward level 0 (the rootsplits) receives no accumulation: its
+        # RHat is seeded from the stationary distribution, so its acc write
+        # targets only the dummy node.
+        lw["acc_nodes"] = jnp.asarray(_pad_stack(
+            [np.zeros(0, dtype=np.int32)]
+            + [l.nodes for l in sch.leafward[1:]], N,
+        ))
+
+        def ext(bl, q):
+            bl_ext = jnp.concatenate(
+                [bl, jnp.full((1,), DEFAULT_BL, dtype)]
+            )
+            q_ext = jnp.concatenate([q, jnp.zeros((1,), dtype)])
+            return bl_ext, q_ext
+
+        def seed_rhat(plv, ls, q):
+            # Seed rootsplits' RHat with q * stationary (reference
+            # SetToStationaryDistribution, src/gp_engine.cpp:218).
             rhat_root = jnp.broadcast_to(
                 (q[rootsplit_edges] * 0.25)[:, None, None],
                 (len(sch.rootsplit_nodes), 4, S),
             )
             plv = plv.at[RHAT, rootsplit_nodes].set(rhat_root)
             ls = ls.at[RHAT, rootsplit_nodes].set(0.0)
-            for i, lvl in enumerate(sch.leafward):
-                nodes = jnp.asarray(lvl.nodes)
-                if i > 0 and len(lvl.edge):
-                    dest_plv = jnp.full(len(lvl.edge), RHAT)
-                    acc, acc_ls = accumulate(plv, ls, lvl, trans, q, dest_plv)
-                    plv, ls = write_levels(plv, ls, acc, acc_ls, (RHAT,),
-                                           nodes)
+            return plv, ls
+
+        def populate(bl, q):
+            bl_ext, q_ext = ext(bl, q)
+            trans = jc69_transition(bl_ext)       # [E+1, 4, 4]
+            plv = jnp.zeros((6, Np1, 4, S), dtype)
+            ls = jnp.zeros((6, Np1, S), dtype)
+            plv = plv.at[P, :n_taxa].set(self.tips)
+
+            # Rootward: phat accumulation + P multiply per level.
+            def root_body(carry, lvl):
+                plv, ls = carry
+                dest_plv = jnp.where(lvl["side"], PHAT_LEFT, PHAT_RIGHT)
+                acc, acc_ls = accumulate(plv, ls, lvl["edge"], lvl["dest"],
+                                         lvl["src"], lvl["src_plv"], trans,
+                                         q_ext, dest_plv)
+                plv, ls = write_levels(plv, ls, acc, acc_ls,
+                                       (PHAT_RIGHT, PHAT_LEFT), lvl["nodes"])
+                plv, ls = multiply_rescale(plv, ls, P, PHAT_LEFT, PHAT_RIGHT,
+                                           lvl["nodes"])
+                return (plv, ls), None
+
+            if rw is not None:
+                (plv, ls), _ = jax.lax.scan(root_body, (plv, ls), rw)
+            plv, ls = seed_rhat(plv, ls, q)
+
+            def leaf_body(carry, lvl):
+                plv, ls = carry
+                dest_plv = jnp.full_like(lvl["edge"], RHAT)
+                acc, acc_ls = accumulate(plv, ls, lvl["edge"], lvl["dest"],
+                                         lvl["src"], lvl["src_plv"], trans,
+                                         q_ext, dest_plv)
+                plv, ls = write_levels(plv, ls, acc, acc_ls, (RHAT,),
+                                       lvl["acc_nodes"])
                 plv, ls = multiply_rescale(plv, ls, RRIGHT, RHAT, PHAT_LEFT,
-                                           nodes)
+                                           lvl["nodes"])
                 plv, ls = multiply_rescale(plv, ls, RLEFT, RHAT, PHAT_RIGHT,
-                                          nodes)
+                                           lvl["nodes"])
+                return (plv, ls), None
+
+            (plv, ls), _ = jax.lax.scan(leaf_body, (plv, ls), lw)
             return plv, ls
 
         like_parent = jnp.asarray(sch.like_parent)
@@ -222,32 +286,62 @@ class GPEngine:
             per_edge = per_edge.at[rootsplit_edges].set(per_edge_root)
             return per_edge, log_marginal_site
 
-        # -- optimization sweep (tidy traversal levelized) --------------
-        # Static per-level edge groups for each side.
-        opt_levels = []
+        # -- optimization sweep (tidy traversal levelized, scanned) -------
+        # Per leafward level, static index groups: the optimizable edges of
+        # each side (parent at this level, child anywhere below) and the
+        # phat-rebuild entries of the level's internal nodes.
+        sweep = dict(lw)  # reuse the leafward acc entries / nodes / acc_nodes
+        opt_cols: Dict[str, List[np.ndarray]] = {
+            k: [] for k in ("r_edge", "r_parent", "r_child",
+                            "l_edge", "l_parent", "l_child",
+                            "internal",
+                            "reb_r_edge", "reb_r_dest", "reb_r_src",
+                            "reb_l_edge", "reb_l_dest", "reb_l_src")
+        }
         for lvl in sch.leafward:
-            groups = {}
-            for side in (RIGHT, LEFT):
+            internal = np.asarray(
+                [u for u in lvl.nodes.tolist() if u >= sch.taxon_count],
+                dtype=np.int32,
+            )
+            opt_cols["internal"].append(internal)
+            for side, tag in ((RIGHT, "r"), (LEFT, "l")):
                 edges, parents, children = [], [], []
                 for u in lvl.nodes.tolist():
                     for c, e in self.dag.leafward[u][side]:
                         edges.append(e)
                         parents.append(u)
                         children.append(c)
-                groups[side] = (
-                    np.asarray(edges, dtype=np.int32),
-                    np.asarray(parents, dtype=np.int32),
-                    np.asarray(children, dtype=np.int32),
-                )
-            opt_levels.append((lvl, groups))
+                opt_cols[f"{tag}_edge"].append(
+                    np.asarray(edges, dtype=np.int32))
+                opt_cols[f"{tag}_parent"].append(
+                    np.asarray(parents, dtype=np.int32))
+                opt_cols[f"{tag}_child"].append(
+                    np.asarray(children, dtype=np.int32))
+                # Rebuild entries: this side's phat of the internal nodes.
+                re_e, re_d, re_s = [], [], []
+                for u in internal.tolist():
+                    for c, e in self.dag.leafward[u][side]:
+                        re_e.append(e)
+                        re_d.append(u)
+                        re_s.append(c)
+                opt_cols[f"reb_{tag}_edge"].append(
+                    np.asarray(re_e, dtype=np.int32))
+                opt_cols[f"reb_{tag}_dest"].append(
+                    np.asarray(re_d, dtype=np.int32))
+                opt_cols[f"reb_{tag}_src"].append(
+                    np.asarray(re_s, dtype=np.int32))
+        pad_of = {"edge": E, "parent": N, "child": N, "dest": N, "src": N,
+                  "internal": N}
+        for k, cols in opt_cols.items():
+            sweep[k] = jnp.asarray(_pad_stack(cols, pad_of[k.split("_")[-1]]))
 
-        def optimize_side(plv, ls, bl, q, group, r_plv):
-            edges, parents, children = (jnp.asarray(g) for g in group)
-            if len(group[0]) == 0:
-                return bl
+        w = self.weights
+
+        def optimize_side(plv, bl_ext, edges, parents, children, r_plv):
+            """Batched Brent over one side's edges; padding rows optimize a
+            flat objective and scatter into the dummy bl slot."""
             r = plv[r_plv, parents]               # [K, 4, S]
             p = plv[P, children]
-            w = self.weights
 
             def neg_ll(y):
                 t = jnp.exp(y)
@@ -256,98 +350,60 @@ class GPEngine:
                                  precision=Precision)
                 return -(jnp.log(jnp.where(val > 0, val, 1e-300)) @ w)
 
-            lo = jnp.full(len(group[0]), MIN_LOG_BL, dtype)
-            hi = jnp.full(len(group[0]), MAX_LOG_BL, dtype)
+            lo = jnp.full(edges.shape, MIN_LOG_BL, dtype)
+            hi = jnp.full(edges.shape, MAX_LOG_BL, dtype)
             y_opt = optimize.brent_minimize_batched(neg_ll, lo, hi)
-            return bl.at[edges].set(jnp.exp(y_opt))
+            return bl_ext.at[edges].set(jnp.exp(y_opt))
 
-        def rebuild_phat(plv, ls, bl, q, lvl_entries, nodes, side):
+        def rebuild_phat(plv, ls, bl_ext, q_ext, edge, dest, src, ptype,
+                         nodes):
             """Recompute one phat side for `nodes` from current bl."""
-            mask = np.asarray(lvl_entries.dest_side) == (side == LEFT)
-            sub = LevelEntries(
-                edge=lvl_entries.edge[mask],
-                dest=lvl_entries.dest[mask],
-                dest_side=lvl_entries.dest_side[mask],
-                src=lvl_entries.src[mask],
-                src_plv=lvl_entries.src_plv[mask],
-                nodes=lvl_entries.nodes,
-            )
-            if len(sub.edge) == 0:
-                return plv, ls
-            trans = jc69_transition(bl)
-            ptype = PHAT_LEFT if side == LEFT else PHAT_RIGHT
-            dest_plv = jnp.full(len(sub.edge), ptype)
-            acc, acc_ls = accumulate(plv, ls, sub, trans, q, dest_plv)
-            return write_levels(plv, ls, acc, acc_ls, (ptype,),
-                                jnp.asarray(nodes))
-
-        # Map node -> its rootward-level entries (for phat rebuilds).
-        node_rootward_level: Dict[int, LevelEntries] = {}
-        for lvl in sch.rootward:
-            for u in lvl.nodes.tolist():
-                node_rootward_level[u] = lvl
+            trans = jc69_transition(bl_ext)
+            acc, acc_ls = accumulate(plv, ls, edge, dest, src,
+                                     jnp.full_like(edge, P), trans, q_ext,
+                                     jnp.full_like(edge, ptype))
+            return write_levels(plv, ls, acc, acc_ls, (ptype,), nodes)
 
         def optimization_sweep(plv, ls, bl, q):
-            trans = jc69_transition(bl)
-            for i, (lvl, groups) in enumerate(opt_levels):
-                nodes = jnp.asarray(lvl.nodes)
-                if i == 0:
-                    rhat_root = jnp.broadcast_to(
-                        (q[rootsplit_edges] * 0.25)[:, None, None],
-                        (len(sch.rootsplit_nodes), 4, S),
-                    )
-                    plv = plv.at[RHAT, rootsplit_nodes].set(rhat_root)
-                    ls = ls.at[RHAT, rootsplit_nodes].set(0.0)
-                elif len(lvl.edge):
-                    trans_now = jc69_transition(bl)
-                    dest_plv = jnp.full(len(lvl.edge), RHAT)
-                    acc, acc_ls = accumulate(plv, ls, lvl, trans_now, q,
-                                             dest_plv)
-                    plv, ls = write_levels(plv, ls, acc, acc_ls, (RHAT,),
-                                           nodes)
+            bl_ext, q_ext = ext(bl, q)
+            plv, ls = seed_rhat(plv, ls, q)
+
+            def body(carry, lvl):
+                plv, ls, bl_ext = carry
+                trans = jc69_transition(bl_ext)
+                dest_plv = jnp.full_like(lvl["edge"], RHAT)
+                acc, acc_ls = accumulate(plv, ls, lvl["edge"], lvl["dest"],
+                                         lvl["src"], lvl["src_plv"], trans,
+                                         q_ext, dest_plv)
+                plv, ls = write_levels(plv, ls, acc, acc_ls, (RHAT,),
+                                       lvl["acc_nodes"])
                 # Right side: RRight = RHat o PHatLeft, optimize, rebuild.
                 plv, ls = multiply_rescale(plv, ls, RRIGHT, RHAT, PHAT_LEFT,
-                                          nodes)
-                bl = optimize_side(plv, ls, bl, q, groups[RIGHT], RRIGHT)
-                is_internal = np.asarray(
-                    [u >= sch.taxon_count for u in lvl.nodes]
-                )
-                internal_nodes = lvl.nodes[is_internal]
-                if len(internal_nodes):
-                    ent = _node_entries(internal_nodes)
-                    plv, ls = rebuild_phat(plv, ls, bl, q, ent,
-                                           internal_nodes, RIGHT)
+                                           lvl["nodes"])
+                bl_ext = optimize_side(plv, bl_ext, lvl["r_edge"],
+                                       lvl["r_parent"], lvl["r_child"],
+                                       RRIGHT)
+                plv, ls = rebuild_phat(plv, ls, bl_ext, q_ext,
+                                       lvl["reb_r_edge"], lvl["reb_r_dest"],
+                                       lvl["reb_r_src"], PHAT_RIGHT,
+                                       lvl["internal"])
                 # Left side.
                 plv, ls = multiply_rescale(plv, ls, RLEFT, RHAT, PHAT_RIGHT,
-                                          nodes)
-                bl = optimize_side(plv, ls, bl, q, groups[LEFT], RLEFT)
-                if len(internal_nodes):
-                    ent = _node_entries(internal_nodes)
-                    plv, ls = rebuild_phat(plv, ls, bl, q, ent,
-                                           internal_nodes, LEFT)
-                    plv, ls = multiply_rescale(
-                        plv, ls, P, PHAT_LEFT, PHAT_RIGHT,
-                        jnp.asarray(internal_nodes),
-                    )
-            return plv, ls, bl
+                                           lvl["nodes"])
+                bl_ext = optimize_side(plv, bl_ext, lvl["l_edge"],
+                                       lvl["l_parent"], lvl["l_child"],
+                                       RLEFT)
+                plv, ls = rebuild_phat(plv, ls, bl_ext, q_ext,
+                                       lvl["reb_l_edge"], lvl["reb_l_dest"],
+                                       lvl["reb_l_src"], PHAT_LEFT,
+                                       lvl["internal"])
+                plv, ls = multiply_rescale(plv, ls, P, PHAT_LEFT, PHAT_RIGHT,
+                                           lvl["internal"])
+                return (plv, ls, bl_ext), None
 
-        def _node_entries(nodes) -> LevelEntries:
-            edges, dest, dside, src = [], [], [], []
-            for u in np.asarray(nodes).tolist():
-                for side in (RIGHT, LEFT):
-                    for c, e in self.dag.leafward[u][side]:
-                        edges.append(e)
-                        dest.append(u)
-                        dside.append(side == LEFT)
-                        src.append(c)
-            return LevelEntries(
-                edge=np.asarray(edges, dtype=np.int32),
-                dest=np.asarray(dest, dtype=np.int32),
-                dest_side=np.asarray(dside, dtype=bool),
-                src=np.asarray(src, dtype=np.int32),
-                src_plv=np.full(len(edges), P, dtype=np.int32),
-                nodes=np.asarray(nodes, dtype=np.int32),
-            )
+            (plv, ls, bl_ext), _ = jax.lax.scan(body, (plv, ls, bl_ext),
+                                                sweep)
+            return plv, ls, bl_ext[:E]
 
         self._populate = jax.jit(populate)
         self._likelihoods = jax.jit(likelihoods)
