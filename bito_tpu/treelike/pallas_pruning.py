@@ -121,6 +121,172 @@ def pallas_log_likelihoods(
     return out[:, 0, :] @ weights
 
 
+def _grad_kernel(ops_ref, pre_ref, P_ref, dP_ref, tips_ref, pivec_ref,
+                 propvec_ref, w_ref, ll_ref, grad_ref, buf, up,
+                 ls, *, M: int, Mp: int, T: int, CA: int, N1: int):
+    """Postorder + root LL + preorder outside vectors + per-edge gradient
+    rows, all VMEM-resident (the gradient analogue of _kernel; reference
+    beagleCalculateEdgeDerivatives, src/fat_beagle.cpp:141-169).
+
+    Per preorder op (dest, parent, sib1, e1, sib2, e2):
+      o      = up[parent] * (P[e1] @ buf[sib1]) * (P[e2] @ buf[sib2])
+      ratio  = (propvec . (o * (dP[dest] @ p_dest)))
+             / (propvec . (o * ( P[dest] @ p_dest)))   -- scale-free
+      grad_ref[dest] = w * ratio ; up[dest] = P[dest]^T @ o
+    """
+    # --- postorder (identical to _kernel) -----------------------------
+    buf[...] = jnp.ones_like(buf)
+    buf[0:T * CA, :] = tips_ref[...]
+    ls[...] = jnp.zeros_like(ls)
+
+    def body(m, _):
+        dest = ops_ref[0, m, 0]
+        s1 = ops_ref[0, m, 1]
+        e1 = ops_ref[0, m, 2]
+        s2 = ops_ref[0, m, 3]
+        e2 = ops_ref[0, m, 4]
+        p1 = buf[pl.ds(s1 * CA, CA), :]
+        p2 = buf[pl.ds(s2 * CA, CA), :]
+        ev1 = jnp.dot(P_ref[0, e1], p1, preferred_element_type=jnp.float32)
+        ev2 = jnp.dot(P_ref[0, e2], p2, preferred_element_type=jnp.float32)
+        prod = ev1 * ev2
+        mx = jnp.max(prod, axis=0, keepdims=True)
+        mx = jnp.where(mx > 0, mx, 1.0)
+        buf[pl.ds(dest * CA, CA), :] = prod / mx
+        ls[pl.ds(dest, 1), :] = (ls[pl.ds(s1, 1), :] + ls[pl.ds(s2, 1), :]
+                                 + jnp.log(mx))
+        return 0
+
+    jax.lax.fori_loop(0, M, body, 0)
+    root = ops_ref[0, M, 0]
+    piprop = pivec_ref[...] * propvec_ref[...]              # [1, CA]
+    pr = buf[pl.ds(root * CA, CA), :]
+    site = jnp.dot(piprop, pr, preferred_element_type=jnp.float32)
+    ll_ref[...] = (jnp.log(site) + ls[pl.ds(root, 1), :])[None]
+
+    # --- preorder + gradient rows --------------------------------------
+    grad_ref[...] = jnp.zeros_like(grad_ref)
+    up[...] = jnp.zeros_like(up)
+    pivec_col = pivec_ref[...].reshape(CA, 1)               # [CA, 1]
+    up[pl.ds(root * CA, CA), :] = jnp.broadcast_to(
+        pivec_col, up[pl.ds(root * CA, CA), :].shape
+    )
+    propvec = propvec_ref[...]                              # [1, CA]
+    w = w_ref[...]                                          # [1, S]
+
+    def pre_body(m, _):
+        dest = pre_ref[0, m, 0]
+        parent = pre_ref[0, m, 1]
+        s1 = pre_ref[0, m, 2]
+        e1 = pre_ref[0, m, 3]
+        s2 = pre_ref[0, m, 4]
+        e2 = pre_ref[0, m, 5]
+        ev1 = jnp.dot(P_ref[0, e1], buf[pl.ds(s1 * CA, CA), :],
+                      preferred_element_type=jnp.float32)
+        ev2 = jnp.dot(P_ref[0, e2], buf[pl.ds(s2 * CA, CA), :],
+                      preferred_element_type=jnp.float32)
+        o = up[pl.ds(parent * CA, CA), :] * ev1 * ev2       # [CA, S]
+        mx = jnp.max(o, axis=0, keepdims=True)
+        mx = jnp.where(mx > 0, mx, 1.0)
+        o = o / mx
+        p = buf[pl.ds(dest * CA, CA), :]
+        Pd = P_ref[0, dest]
+        den = jnp.dot(propvec,
+                      o * jnp.dot(Pd, p,
+                                  preferred_element_type=jnp.float32),
+                      preferred_element_type=jnp.float32)   # [1, S]
+        num = jnp.dot(propvec,
+                      o * jnp.dot(dP_ref[0, dest], p,
+                                  preferred_element_type=jnp.float32),
+                      preferred_element_type=jnp.float32)
+        den = jnp.where(den > 0, den, 1.0)
+        grad_ref[0, pl.ds(dest, 1), :] = w * num / den
+        up[pl.ds(dest * CA, CA), :] = jnp.dot(
+            Pd.T, o, preferred_element_type=jnp.float32
+        )
+        return 0
+
+    jax.lax.fori_loop(0, Mp, pre_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_slots", "category_count",
+                                             "s_tile", "interpret"))
+def pallas_ll_and_gradients(
+    post_ops,        # [B, M, 5] int32
+    pre_ops,         # [B, Mp, 6] int32
+    root,            # [B] int32
+    edge_mask,       # [B, N] f32
+    P_blk,           # [B, N+1, CA, CA] f32
+    dP_blk,          # [B, N+1, CA, CA] f32
+    tips_flat,       # [T*CA, S] f32
+    pivec,           # [1, CA] f32: pi_a tiled per category
+    propvec,         # [1, CA] f32: prop_c repeated per state
+    weights,         # [S] f32 (0 on padding)
+    *, num_slots: int, category_count: int, s_tile: int = 512,
+    interpret: bool = False,
+):
+    """Per-tree (log likelihood [B], branch gradients [B, N]) via the
+    VMEM-resident kernel."""
+    B, M, _ = post_ops.shape
+    Mp = pre_ops.shape[1]
+    ops_ext = jnp.concatenate(
+        [post_ops,
+         jnp.broadcast_to(root.reshape(B, 1, 1), (B, 1, 5)).astype(
+             post_ops.dtype)],
+        axis=1,
+    )
+    CA = pivec.shape[1]
+    T = tips_flat.shape[0] // CA
+    S = tips_flat.shape[1]
+    assert S % s_tile == 0, (S, s_tile)
+    N1 = num_slots + 1
+    NP = -(-N1 // 8) * 8   # pad the gradient-row axis to the f32 sublane
+    w2 = weights.reshape(1, S)
+    grid = (B, S // s_tile)
+
+    ll, wgrad = pl.pallas_call(
+        functools.partial(_grad_kernel, M=M, Mp=Mp, T=T, CA=CA, N1=N1),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, M + 1, 5), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Mp, 6), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N1, CA, CA), lambda b, s: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N1, CA, CA), lambda b, s: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T * CA, s_tile), lambda b, s: (0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CA), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CA), lambda b, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile), lambda b, s: (0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, s_tile), lambda b, s: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NP, s_tile), lambda b, s: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, NP, S), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N1 * CA, s_tile), jnp.float32),
+            pltpu.VMEM((N1 * CA, s_tile), jnp.float32),
+            pltpu.VMEM((N1, s_tile), jnp.float32),
+        ],
+        interpret=interpret,
+    )(ops_ext, pre_ops, P_blk, dP_blk, tips_flat, pivec, propvec, w2)
+    ll_total = ll[:, 0, :] @ weights
+    grads = wgrad.sum(axis=2)[:, :num_slots] * edge_mask
+    return ll_total, grads
+
+
 def prepare_inputs(enc, tip_partials, weights, eig, category_rates,
                    category_proportions, clock_rate, branch_lengths,
                    pattern_pad: int):
@@ -150,3 +316,28 @@ def prepare_inputs(enc, tip_partials, weights, eig, category_rates,
         jnp.asarray(weights[:S0], jnp.float32)
     )
     return P_blk, tips_flat, piprop, w
+
+
+def prepare_inputs_grad(enc, tip_partials, weights, eig, category_rates,
+                        category_proportions, clock_rate, branch_lengths,
+                        pattern_pad: int):
+    """Host-side packing for the LL+gradient kernel: the prepare_inputs
+    bundle plus block-diagonal dP and the per-folded-row pi / proportion
+    vectors."""
+    from . import pruning
+
+    P_blk, tips_flat, _piprop, w = prepare_inputs(
+        enc, tip_partials, weights, eig, category_rates,
+        category_proportions, clock_rate, branch_lengths, pattern_pad,
+    )
+    dP = pruning.transition_matrices_ext(
+        eig, branch_lengths, category_rates, clock_rate, derivative=True
+    )
+    dP_blk = block_diag_transitions(dP).astype(jnp.float32)
+    C = category_rates.shape[-1]
+    A = 4
+    pivec = jnp.tile(eig.pi[0], C).reshape(1, C * A).astype(jnp.float32)
+    propvec = jnp.repeat(category_proportions[0], A).reshape(
+        1, C * A
+    ).astype(jnp.float32)
+    return P_blk, dP_blk, tips_flat, pivec, propvec, w

@@ -252,3 +252,51 @@ class TestPallasKernel:
         ))
         # float32 kernel vs float64 reference: relative agreement.
         np.testing.assert_allclose(ll_pl, ll_ref, rtol=1e-6)
+
+    def test_pallas_gradients_match_scan_path(self, data_dir):
+        """The fused LL+gradient kernel (interpret mode on CPU) agrees with
+        the scan-tape preorder gradients."""
+        import jax.numpy as jnp
+
+        from bito_tpu.treelike import pallas_pruning
+
+        spec = PhyloModelSpecification(substitution="GTR", site="gamma+4")
+        coll, engine, model = make_engine(
+            "DS1.fasta", "DS1.subsampled_10.t", spec=spec, nexus=True,
+            data_dir=data_dir,
+        )
+        trees = coll.trees[:3]
+        params = {
+            "substitution_model_rates": jnp.asarray(
+                [0.1, 0.3, 0.1, 0.2, 0.25, 0.05]
+            ),
+            "substitution_model_frequencies": jnp.asarray(
+                [0.3, 0.25, 0.2, 0.25]
+            ),
+            "site_model_parameters": jnp.asarray([0.5]),
+        }
+        ll_ref, grads_ref = engine.ll_and_branch_gradients(trees, params)
+        ll_ref, grads_ref = np.asarray(ll_ref), np.asarray(grads_ref)
+        enc = engine.encode(trees)
+        bl = engine.branch_length_matrix(trees, enc)
+        eig, rates, props, clock = engine._model_ingredients(
+            params, len(trees)
+        )
+        sp = engine.site_pattern
+        P_blk, dP_blk, tips_flat, pivec, propvec, w = (
+            pallas_pruning.prepare_inputs_grad(
+                enc, jnp.asarray(sp.tip_partials(), jnp.float32), sp.weights,
+                eig, rates, props, clock, bl, engine.pattern_pad,
+            )
+        )
+        ll_pl, grads_pl = pallas_pruning.pallas_ll_and_gradients(
+            jnp.asarray(enc.post_ops), jnp.asarray(enc.pre_ops),
+            jnp.asarray(enc.root),
+            jnp.asarray(enc.edge_mask, jnp.float32), P_blk, dP_blk,
+            tips_flat, pivec, propvec, w, num_slots=enc.num_slots,
+            category_count=4, s_tile=512, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(ll_pl), ll_ref, rtol=1e-6)
+        # f32 kernel vs f64 scan path: gradients are O(1e2-1e4).
+        np.testing.assert_allclose(np.asarray(grads_pl), grads_ref,
+                                   rtol=5e-4, atol=5e-3)
