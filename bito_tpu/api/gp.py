@@ -27,11 +27,11 @@ class GPInstance:
         self.engine: Optional[GPEngine] = None
 
     # -- io ---------------------------------------------------------------
-    def read_newick_file(self, path: str):
-        self.tree_collection = parse_newick_file(path)
+    def read_newick_file(self, path: str, sort_taxa: bool = False):
+        self.tree_collection = parse_newick_file(path, sort_taxa=sort_taxa)
 
-    def read_nexus_file(self, path: str):
-        self.tree_collection = parse_nexus_file(path)
+    def read_nexus_file(self, path: str, sort_taxa: bool = False):
+        self.tree_collection = parse_nexus_file(path, sort_taxa=sort_taxa)
 
     def read_fasta_file(self, path: str):
         self.alignment = read_fasta(path)

@@ -69,13 +69,25 @@ class NNIEngine:
         self.dag = dag
         self.adjacent: Dict[Tuple[str, str], NNIOperation] = {}
         self.accepted: List[NNIOperation] = []
-        self.rejected: Set[Tuple[str, str]] = set()
+        self.rejected: Set[Tuple[str, str]] = set()       # this iteration
+        self.past_rejected: Set[Tuple[str, str]] = set()  # cumulative
         self.scored: Dict[Tuple[str, str], float] = {}
+        self._candidate_trees: Dict[Tuple[str, str], Tree] = {}
         # Filtering scheme
         self._filter = ("top_k", 1)
         self.iterations = 0
         self.accepted_this_iter: List[NNIOperation] = []
+        # Reference defaults (src/nni_engine.hpp:564-566): only NEW adjacent
+        # NNIs are rescored each iteration (TP scores don't go stale), but
+        # ALL adjacent NNIs -- including previously rejected ones, with
+        # their cached scores -- compete in the accept/reject evaluation.
         self._rescore_rejected = False
+        self._reevaluate_rejected = True
+        # Proposed-tree new-edge branch optimization before scoring
+        # (reference TPEngine optimize_new_edges + optimization_max_iteration,
+        # test/nni_search.py:29-33).
+        self._optimize_new_edges = True
+        self._optimization_iterations = 2
         self._filter_init_fn = None
         self._filter_pre_score_fn = None
         self._filter_post_score_fn = None
@@ -102,7 +114,9 @@ class NNIEngine:
     def sync_adjacent_nnis_with_dag(self):
         """Reference NNIEngine::SyncAdjacentNNIsWithDAG
         (src/nni_engine.cpp:766): both swaps of every central edge, minus
-        pairs already in the DAG and previously rejected ones."""
+        pairs already in the DAG.  Previously rejected NNIs stay adjacent
+        (they keep competing with cached scores) unless reevaluation of
+        rejected NNIs is disabled."""
         dag = self.dag
         existing = set(dag.build_edge_indexer().keys())
         self.adjacent.clear()
@@ -118,7 +132,8 @@ class NNIEngine:
                 pcsp = PCSP.of_parent_child(nni.parent, nni.child).to_string()
                 if pcsp in existing:
                     continue
-                if key in self.rejected and not self._rescore_rejected:
+                if (not self._reevaluate_rejected
+                        and key in self.past_rejected):
                     continue
                 self.adjacent[key] = nni
 
@@ -157,28 +172,68 @@ class NNIEngine:
                                   nni)
 
     # -- scoring -----------------------------------------------------------
+    def _new_edge_nodes(self, tree: Tree) -> List[int]:
+        """Node ids of the tree whose edge-PCSP is not yet in the DAG —
+        the proposed NNI's new edges, whose branch lengths get optimized
+        before scoring (reference optimize_new_edges +
+        init_proposed_branch_lengths_with_dag, src/tp_engine.cpp:1423-1427,
+        exercised by test/nni_search.py:20-33)."""
+        indexer = self.dag.build_edge_indexer()
+        topo = tree.topology
+        n = topo.num_taxa
+        cl = topo.clades()
+        ch = topo.children()
+        ss = {v: Subsplit.leaf(v, n) for v in range(n)}
+        for v in range(n, topo.num_nodes):
+            kids = ch[v]
+            ss[v] = Subsplit.of_pair(cl[kids[0]], cl[kids[1]], n)
+        out = []
+        for v in range(topo.num_nodes - 1):
+            parent = int(topo.parents[v])
+            pcsp = PCSP.of_parent_child(ss[parent], ss[v]).to_string()
+            if pcsp not in indexer:
+                out.append(v)
+        return out
+
     def score_adjacent_nnis(self) -> Dict[Tuple[str, str], float]:
-        """Score all adjacent NNIs in one batched program."""
+        """Score the NNIs to rescore in one batched program: only the NEW
+        adjacent ones by default — TP top-tree scores don't go stale — or
+        every adjacent NNI when rescoring is enabled (reference
+        GetNNIsToRescore, src/nni_engine.hpp:145-152).  Each proposed
+        tree's new edges are branch-optimized before scoring."""
         keys, trees = [], []
         for key, nni in self.adjacent.items():
+            if key in self.scored and not self._rescore_rejected:
+                continue
             t = self._candidate_tree(nni)
             if t is None:
                 continue
             keys.append(key)
             trees.append(t)
-        if not trees:
-            return {}
-        if self.scoring == "tp_parsimony":
-            scores = self.tp.sankoff.run_sankoff(trees)
-            scores = -scores  # lower parsimony is better; negate to rank
-        else:
-            scores = np.asarray(
-                self.tp.like_engine.log_likelihoods(trees, {})
-            )
-        out = dict(zip(keys, map(float, scores)))
-        self.scored.update(out)
-        self._candidate_trees = dict(zip(keys, trees))
-        return out
+        if trees:
+            if self.scoring != "tp_parsimony" and self._optimize_new_edges:
+                selected = [self._new_edge_nodes(t) for t in trees]
+                bl = self.tp.like_engine.optimize_selected_branches(
+                    trees, {}, selected,
+                    iterations=self._optimization_iterations,
+                )
+                for b, t in enumerate(trees):
+                    t.branch_lengths = bl[b, : t.topology.num_nodes].copy()
+            if self.scoring == "tp_parsimony":
+                scores = self.tp.sankoff.run_sankoff(trees)
+                scores = -scores  # lower parsimony is better; negate to rank
+            else:
+                scores = np.asarray(
+                    self.tp.like_engine.log_likelihoods(trees, {})
+                )
+            self.scored.update(zip(keys, map(float, scores)))
+            self._candidate_trees.update(zip(keys, trees))
+        # The evaluation scope: cached scores of every adjacent NNI
+        # (reference GetScoredNNIsToReevaluate, src/nni_engine.hpp:166-169).
+        if self._reevaluate_rejected:
+            return {k: self.scored[k] for k in self.adjacent
+                    if k in self.scored}
+        return {k: self.scored[k] for k in keys}
 
     def _filter_accept(self, scores: Dict[Tuple[str, str], float]
                        ) -> List[Tuple[str, str]]:
@@ -199,7 +254,9 @@ class NNIEngine:
         self.adjacent.clear()
         self.accepted.clear()
         self.rejected.clear()
+        self.past_rejected.clear()
         self.scored.clear()
+        self._candidate_trees.clear()
         self.accepted_this_iter = []
         self.iterations = 0
 
@@ -219,23 +276,28 @@ class NNIEngine:
         if not quiet:
             print(f"iter {self.iterations}: {len(self.adjacent)} "
                   f"adjacent, {len(accepted_keys)} accepted")
+        self.rejected = {k for k in scores if k not in accepted_keys}
+        self.past_rejected |= self.rejected
         if not accepted_keys:
             self.accepted_this_iter = []
             return False
-        for key in scores:
-            if key not in accepted_keys:
-                self.rejected.add(key)
         self.accepted_this_iter = [self.adjacent[k] for k in accepted_keys]
+        self.accepted_scores_this_iter = {k: scores[k] for k in accepted_keys}
         for key in accepted_keys:
             self.accepted.append(self.adjacent[key])
             self.supporting_trees.append(self._candidate_trees[key])
+            self.scored.pop(key, None)   # reference RemoveNNIScore
+            self.past_rejected.discard(key)
         self.add_accepted_nnis_to_dag()
         return True
 
     def run_post_loop(self):
         """Reference RunPostLoop (src/nni_engine.cpp:259-277): refresh the
-        adjacent set after DAG growth."""
+        adjacent set after DAG growth; this iteration's rejections are
+        archived and cleared (reference UpdateRejectedNNIs,
+        src/nni_engine.cpp:984-991)."""
         self.sync_adjacent_nnis_with_dag()
+        self.rejected = set()
         self.iterations += 1
 
     def run(self, max_iter: int = 100, quiet: bool = True) -> int:
@@ -266,7 +328,8 @@ class NNIEngine:
 
     def filter_evaluate_adjacent_nnis(self, scores=None):
         if scores is None:
-            scores = self.scored
+            scores = {k: self.scored[k] for k in self.adjacent
+                      if k in self.scored}
         if self._filter_evaluate_fn:
             return self._filter_evaluate_fn(self, scores)
         return self._filter_accept(scores)
@@ -319,7 +382,7 @@ class NNIEngine:
         return len(self.rejected_nnis())
 
     def past_rejected_nni_count(self) -> int:
-        return len(self.rejected)
+        return len(self.past_rejected)
 
     def scored_nnis(self):
         return dict(self.scored)
@@ -356,11 +419,16 @@ class NNIEngine:
         self.set_filter_cutoff(-np.inf if accept_all else np.inf)
 
     def set_rescore_rejected_nnis(self, rescore: bool):
-        if rescore:
-            self.rejected.clear()
         self._rescore_rejected = rescore
 
-    set_reevaluate_rejected_nnis = set_rescore_rejected_nnis
+    def set_reevaluate_rejected_nnis(self, reevaluate: bool):
+        self._reevaluate_rejected = reevaluate
+
+    def set_optimize_new_edges(self, optimize: bool):
+        self._optimize_new_edges = optimize
+
+    def set_optimization_max_iteration(self, iterations: int):
+        self._optimization_iterations = max(1, int(iterations))
 
 
 def _three_clades(parent: Subsplit, child: Subsplit) -> Tuple[int, int, int]:

@@ -167,3 +167,34 @@ class TreeLikelihoodEngine:
             num_slots=enc.num_slots, pattern_pad=self.pattern_pad,
             category_count=self.model.category_count,
         )
+
+    def optimize_selected_branches(
+        self, trees: Sequence[Tree], params: Dict[str, jnp.ndarray],
+        selected_nodes: Sequence[Sequence[int]], iterations: int = 2,
+        max_selected: int = 8,
+    ) -> np.ndarray:
+        """Exact conditional Brent optimization of selected branches per
+        tree (batched); returns the branch-length matrix [B, N].  The
+        classical-engine counterpart of the reference TPEngine's
+        proposed-NNI new-edge optimization (src/tp_engine.cpp:1423-1427)."""
+        enc = self.encode(trees)
+        bl = self.branch_length_matrix(trees, enc)
+        eig, rates, props, clock = self._model_ingredients(params, len(trees))
+        K = min(max_selected,
+                max((len(s) for s in selected_nodes), default=1)) or 1
+        sel = np.full((len(trees), K), enc.num_slots, dtype=np.int32)
+        mask = np.zeros((len(trees), K), dtype=bool)
+        for b, nodes in enumerate(selected_nodes):
+            nodes = list(nodes)[:K]
+            sel[b, : len(nodes)] = nodes
+            mask[b, : len(nodes)] = True
+        out = pruning.optimize_selected_branches_impl(
+            jnp.asarray(enc.post_ops), jnp.asarray(enc.pre_ops),
+            jnp.asarray(enc.root), self.tip_partials, self.weights, bl,
+            eig, rates, props, clock,
+            jnp.asarray(sel), jnp.asarray(mask),
+            num_slots=enc.num_slots, pattern_pad=self.pattern_pad,
+            category_count=self.model.category_count,
+            iterations=iterations,
+        )
+        return np.asarray(out)

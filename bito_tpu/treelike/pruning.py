@@ -289,6 +289,70 @@ def ll_and_branch_gradients_impl(
     return ll, grads
 
 
+MIN_LOG_BL = -13.9   # reference src/dag_branch_handler.hpp:272
+MAX_LOG_BL = 1.1     # reference src/dag_branch_handler.hpp:275
+
+
+@functools.partial(jax.jit, static_argnames=("num_slots", "pattern_pad",
+                                             "category_count", "iterations"))
+def optimize_selected_branches_impl(
+    post_ops, pre_ops, root, tip_partials, weights, branch_lengths,
+    eig: EigenDecomp, category_rates, category_proportions, clock_rate,
+    sel_nodes,     # [B, K] int32 node ids to optimize (pad with num_slots)
+    sel_mask,      # [B, K] bool
+    *, num_slots: int, pattern_pad: int, category_count: int,
+    iterations: int = 2,
+):
+    """Batched exact conditional branch-length optimization of selected
+    edges (the classical-engine counterpart of the reference's
+    proposed-NNI new-edge optimization: TPEngine with optimize_new_edges,
+    src/tp_engine.cpp:1423-1427 + Optimization::BrentMinimize).
+
+    Given fixed other branches, LL as a function of one edge's length t
+    factorizes through that node's outside vector o and partial p:
+        LL(t) = sum_s w_s log( sum_c prop_c  o . (P_c(t) @ p) ) + const,
+    so a vectorized Brent per (tree, selected node) lane is exact.  The
+    selected edges update Jacobi-style; `iterations` rounds of
+    (postorder+preorder, joint Brent) form the coordinate ascent."""
+    from ..gp import optimize as gp_optimize
+
+    B, K = sel_nodes.shape
+    bl = branch_lengths
+
+    for _ in range(iterations):
+        P = transition_matrices_ext(eig, bl, category_rates, clock_rate)
+        buf, _logs = init_partials(tip_partials, B, num_slots,
+                                   category_count, pattern_pad)
+        buf, _logs = postorder_pass(post_ops, P, buf, _logs)
+        outside = preorder_pass(pre_ops, P, buf, root, eig.pi)
+        take = jax.vmap(lambda x, idx: x[idx])
+        o = take(outside, sel_nodes)          # [B, K, C, A, S]
+        p = take(buf, sel_nodes)
+
+        def neg_ll(y):                        # y: [B, K] log branch length
+            t = jnp.exp(y)
+            tau = (t * clock_rate[:, None])[:, :, None] \
+                * category_rates[:, None, :]              # [B, K, C]
+            e = jnp.exp(eig.values[:, None, None, :]
+                        * tau[..., None])                 # [B, K, C, A]
+            Pk = jnp.einsum("bia,bkca,baj->bkcij", eig.U, e, eig.U_inv,
+                            precision=Precision)
+            ev = jnp.einsum("bkcij,bkcjs->bkcis", Pk, p,
+                            precision=Precision)
+            val = jnp.einsum("bc,bkcas->bks", category_proportions,
+                             o * ev, precision=Precision)
+            return -(jnp.log(jnp.where(val > 0, val, 1e-300)) @ weights)
+
+        lo = jnp.full((B, K), MIN_LOG_BL, bl.dtype)
+        hi = jnp.full((B, K), MAX_LOG_BL, bl.dtype)
+        y_opt = gp_optimize.brent_minimize_batched(neg_ll, lo, hi)
+        new_t = jnp.where(sel_mask, jnp.exp(y_opt), take(bl, sel_nodes))
+        bl = jax.vmap(lambda b, idx, v: b.at[idx].set(v))(
+            bl, sel_nodes, new_t
+        )
+    return bl
+
+
 # ---------------------------------------------------------------------------
 # Levelized wavefront variants: ~tree-depth wide steps instead of
 # ~node-count narrow ones.  Same math as the scan tapes above; the step
