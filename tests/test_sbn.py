@@ -331,3 +331,58 @@ class TestPSP:
             n = tree.topology.num_taxa
             assert all(down[i] == sentinel for i in range(n))
             assert all(down[i] < sentinel for i in range(n, E))
+
+
+class TestDeviceBackend:
+    """Device (XLA) EM + topology gradients match the numpy implementations
+    (bito_tpu/sbn/device.py vs probability.py / gradients.py)."""
+
+    def test_em_parity(self, ds1_100):
+        from bito_tpu.sbn import device, probability
+
+        reps, counts = ds1_100._representation_counter()
+        sup = ds1_100.sbn_support
+        for alpha, it in [(0.0, 5), (0.5, 10)]:
+            a, ha = probability.expectation_maximization(
+                sup, reps, counts, alpha, it)
+            b, hb = device.expectation_maximization(
+                sup, reps, counts, alpha, it)
+            mask = np.isfinite(a)
+            assert (np.isfinite(b) == mask).all()
+            np.testing.assert_allclose(b[mask], a[mask], atol=1e-9)
+            np.testing.assert_allclose(hb, ha, rtol=1e-11)
+
+    def test_em_score_epsilon_stops_early(self, ds1_100):
+        from bito_tpu.sbn import device
+
+        reps, counts = ds1_100._representation_counter()
+        _, hist = device.expectation_maximization(
+            ds1_100.sbn_support, reps, counts, 0.0, 100, score_epsilon=1e-3)
+        assert 1 < len(hist) < 100
+        imp = np.diff(hist) / np.abs(hist[:-1])
+        assert abs(imp[-1]) < 1e-3
+
+    def test_topology_gradients_parity(self, ds1_100):
+        from bito_tpu.sbn import device, gradients
+
+        ds1_100.train_simple_average()
+        reps, _ = ds1_100._representation_counter()
+        sup = ds1_100.sbn_support
+        rng = np.random.default_rng(7)
+        sample = reps[:6]
+        log_f = rng.normal(size=len(sample)) * 3 - 6000
+        for vimco in (True, False):
+            g_np = gradients.topology_gradients(
+                sup, ds1_100.sbn_parameters, sample, log_f, vimco)
+            g_dev = device.topology_gradients(
+                sup, ds1_100.sbn_parameters, sample, log_f, vimco)
+            np.testing.assert_allclose(g_dev, g_np, atol=1e-10)
+
+    def test_instance_backends_agree(self, ds1_100):
+        score_d = ds1_100.train_expectation_maximization(0.1, 4)
+        p_dev = ds1_100.calculate_sbn_probabilities()
+        score_n = ds1_100.train_expectation_maximization(
+            0.1, 4, backend="numpy")
+        p_np = ds1_100.calculate_sbn_probabilities()
+        np.testing.assert_allclose(score_d, score_n, rtol=1e-11)
+        np.testing.assert_allclose(p_dev, p_np, atol=1e-12)
