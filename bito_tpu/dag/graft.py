@@ -75,7 +75,10 @@ def graft_node_pairs(
     new_edges = set(edges)
     for parent, child in node_pairs:
         for ss in (parent, child):
-            if not ss.is_leaf():
+            # The UCA is always present as the DAG root; adding it to the
+            # internal set would duplicate it (rootsplit pairs arrive with
+            # parent == UCA).
+            if not ss.is_leaf() and not ss.is_uca():
                 new_internal.add(ss)
         new_edges.add((parent, child))
         # Connect all valid children on every clade of both proposed nodes

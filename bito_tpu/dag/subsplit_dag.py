@@ -567,12 +567,9 @@ for _name, _fn in [
     setattr(SubsplitDAG, _name, _fn)
 
 
-def _add_nodes(self: SubsplitDAG, subsplits) -> "SubsplitDAG":
-    """Return a new DAG with the given subsplits (and all valid edges)
-    added (reference AddNodes; immutably rebuilt here)."""
-    from .graft import graft_node_pairs
-
-    # Adding bare nodes: attach each via its valid parents/children.
+def _add_nodes(self: SubsplitDAG, subsplits) -> "ModificationResult":
+    """Reference SubsplitDAG::AddNodes: add the given subsplits (keeping
+    existing edges), in place."""
     internal = set(self.nodes[self.taxon_count:self.root_id]) | {
         s for s in subsplits if not s.is_leaf()
     }
@@ -582,17 +579,129 @@ def _add_nodes(self: SubsplitDAG, subsplits) -> "SubsplitDAG":
              if int(self.edge_parent[e]) == self.root_id
              else self.nodes[int(self.edge_parent[e])])
         edges.add((p, self.nodes[int(self.edge_child[e])]))
-    return _assemble(internal, edges, self.taxon_names)
+    return _modify_in_place(self, _assemble(internal, edges,
+                                            self.taxon_names))
 
 
-def _add_edges(self: SubsplitDAG, pairs) -> "SubsplitDAG":
-    """Return a new DAG with the given (parent, child) subsplit pairs and
-    their valid neighbor connections added (reference AddEdges /
-    AddNodePair, immutably via graft)."""
+def _add_edges(self: SubsplitDAG, pairs) -> "ModificationResult":
+    """Reference SubsplitDAG::AddEdges: add the given (parent, child)
+    subsplit pairs and their valid neighbor connections, in place."""
+    return _add_node_pairs_in_place(self, pairs)
+
+
+@dataclass
+class ModificationResult:
+    """Outcome of an in-place DAG modification (reference
+    SubsplitDAG::ModificationResult, src/subsplit_dag.hpp:525-565): the ids
+    added by the modification plus old-id -> new-id reindexers for node- and
+    edge-aligned data (the reference Reindexer, src/reindexer.hpp:3-14)."""
+    added_node_ids: List[int]
+    added_edge_ids: List[int]
+    node_reindexer: np.ndarray   # [old_node_count] old id -> new id
+    edge_reindexer: np.ndarray   # [old_edge_count] old id -> new id
+
+    def reindex_node_data(self, data: np.ndarray, new_count: int,
+                          fill=0.0) -> np.ndarray:
+        """Remap old-node-id-aligned data to the new ids (reference
+        Reindexer::ReindexVector)."""
+        out = np.full((new_count,) + data.shape[1:], fill, dtype=data.dtype)
+        out[self.node_reindexer] = data
+        return out
+
+    def reindex_edge_data(self, data: np.ndarray, new_count: int,
+                          fill=0.0) -> np.ndarray:
+        out = np.full((new_count,) + data.shape[1:], fill, dtype=data.dtype)
+        out[self.edge_reindexer] = data
+        return out
+
+
+def _edge_string_index(dag: SubsplitDAG) -> Dict[Tuple[str, str], int]:
+    return {
+        (dag.nodes[int(dag.edge_parent[e])].to_string(),
+         dag.nodes[int(dag.edge_child[e])].to_string()): e
+        for e in range(dag.edge_count())
+    }
+
+
+def _modify_in_place(self: SubsplitDAG, new: SubsplitDAG
+                     ) -> ModificationResult:
+    """Replace self's contents with `new` and report the id mapping.  The
+    reference mutates storage and reindexes in place
+    (src/subsplit_dag.hpp:525-565); here the rebuilt DAG is swapped in and
+    the reindexers are derived from subsplit/PCSP identity, which preserves
+    the same caller contract (same object, new contiguous ids)."""
+    node_reindexer = np.asarray(
+        [new.subsplit_to_id[s.to_string()] for s in self.nodes],
+        dtype=np.int32,
+    )
+    new_edges = _edge_string_index(new)
+    edge_reindexer = np.asarray(
+        [new_edges[(self.nodes[int(self.edge_parent[e])].to_string(),
+                    self.nodes[int(self.edge_child[e])].to_string())]
+         for e in range(self.edge_count())],
+        dtype=np.int32,
+    )
+    node_image = set(node_reindexer.tolist())
+    edge_image = set(edge_reindexer.tolist())
+    added_nodes = [i for i in range(new.node_count())
+                   if i not in node_image]
+    added_edges = [e for e in range(new.edge_count())
+                   if e not in edge_image]
+    self.__dict__.update(new.__dict__)
+    return ModificationResult(added_nodes, added_edges, node_reindexer,
+                              edge_reindexer)
+
+
+def _add_node_pair(self: SubsplitDAG, parent: Subsplit, child: Subsplit
+                   ) -> ModificationResult:
+    """Reference SubsplitDAG::AddNodePair (src/subsplit_dag.hpp:525-565):
+    add the parent/child subsplit pair and every valid connecting edge,
+    in place, returning added ids + reindexers."""
     from .graft import graft_node_pairs
 
-    grafted, _ = graft_node_pairs(self, list(pairs))
-    return grafted
+    assert self.is_valid_add_node_pair(parent, child), (
+        "invalid node pair", parent.to_string(), child.to_string())
+    new, _ = graft_node_pairs(self, [(parent, child)])
+    return _modify_in_place(self, new)
+
+
+def _add_node_pairs_in_place(self: SubsplitDAG, pairs) -> ModificationResult:
+    """Reference AddEdges/AddNodes bulk form.  Pairs are inserted
+    sequentially (as repeated AddNodePair) so later pairs connect to earlier
+    additions; a single batch graft would leave new-node <-> new-node edges
+    out (graft_node_pairs deliberately connects candidates to host nodes
+    only, for independent NNI scoring)."""
+    from .graft import graft_node_pairs
+
+    new = self
+    for pair in pairs:
+        new, _ = graft_node_pairs(new, [pair])
+    return _modify_in_place(self, new)
+
+
+def _fully_connect(self: SubsplitDAG) -> ModificationResult:
+    """Reference SubsplitDAG::FullyConnect: add every valid edge between
+    nodes already present."""
+    n = self.taxon_count
+    uca = Subsplit.uca(n)
+    internal = set(self.nodes[n:self.root_id])
+    by_union: Dict[int, List[Subsplit]] = {}
+    for ss in internal:
+        by_union.setdefault(ss.union, []).append(ss)
+    edges: Set[Tuple[Subsplit, Subsplit]] = set()
+    from ..core.bitset import bit_indices
+
+    for ss in list(internal) + [uca]:
+        for clade in (ss.clade0, ss.clade1):
+            if clade == 0:
+                continue
+            if popcount(clade) == 1:
+                edges.add((ss, Subsplit.leaf(bit_indices(clade)[0], n)))
+                continue
+            for c in by_union.get(clade, []):
+                edges.add((ss, c))
+    return _modify_in_place(self, _assemble(internal, edges,
+                                            self.taxon_names))
 
 
 def _topology_to_newick_topology(self: SubsplitDAG, topology) -> str:
@@ -615,6 +724,7 @@ def _compare_by_topology(self: SubsplitDAG, a, b) -> int:
 
 for _name, _fn in [
     ("add_nodes", _add_nodes), ("add_edges", _add_edges),
+    ("add_node_pair", _add_node_pair), ("fully_connect", _fully_connect),
     ("topology_to_newick_topology", _topology_to_newick_topology),
     ("tree_to_newick_tree", _tree_to_newick_tree),
     ("get_taxon_map", _get_taxon_map),
