@@ -81,6 +81,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.bc_counter_free.argtypes = [ctypes.c_void_p]
+        lib.bc_pcsp_indexer.restype = ctypes.c_void_p
+        lib.bc_pcsp_indexer.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.bc_pcsp_indexer_free.argtypes = [ctypes.c_void_p]
+        lib.bc_indexer_error.restype = ctypes.c_char_p
+        lib.bc_indexer_error.argtypes = [ctypes.c_void_p]
+        lib.bc_unrooted_representations.restype = ctypes.c_int
+        lib.bc_unrooted_representations.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return _lib
 
@@ -178,3 +192,72 @@ def unrooted_counters(parent_arrays: List[np.ndarray],
         return rs, pcsp
     finally:
         lib.bc_counter_free(h)
+
+
+def _int_to_blocks(v: int, nb: int, out: np.ndarray):
+    mask = (1 << 64) - 1
+    for j in range(nb):
+        out[j] = (v >> (64 * j)) & mask
+
+
+class PCSPIndexer:
+    """Native PCSP-string -> index map for representation building
+    (reference indexer_ of SBNSupport, src/sbn_support.hpp:4-60)."""
+
+    def __init__(self, indexer: Dict[str, int], n_taxa: int):
+        lib = get_lib()
+        assert lib is not None
+        self._lib = lib
+        self.n_taxa = n_taxa
+        self.nb = (n_taxa + 63) // 64
+        count = len(indexer)
+        blocks = np.zeros((count, 3 * self.nb), dtype=np.uint64)
+        indices = np.empty(count, dtype=np.int64)
+        from ..core.bitset import bits_of_string
+
+        for i, (key, idx) in enumerate(indexer.items()):
+            for part in range(3):
+                v = bits_of_string(key[part * n_taxa:(part + 1) * n_taxa])
+                _int_to_blocks(v, self.nb, blocks[i, part * self.nb:
+                                                  (part + 1) * self.nb])
+            indices[i] = idx
+        self._h = lib.bc_pcsp_indexer(
+            blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            count, self.nb,
+        )
+
+    def __del__(self):
+        lib, h = getattr(self, "_lib", None), getattr(self, "_h", None)
+        if lib is not None and h:
+            lib.bc_pcsp_indexer_free(h)
+
+    def unrooted_representations(self, parent_arrays: List[np.ndarray],
+                                 default_index: int) -> List[List[List[int]]]:
+        """Per tree: one row per virtual rooting, [rootsplit index, sorted
+        PCSP indices...] — the exact output of
+        sbn.maps.unrooted_representation."""
+        sizes = np.asarray([len(p) for p in parent_arrays], dtype=np.int32)
+        assert (sizes == sizes[0]).all(), "trees must share the taxon set"
+        N = int(sizes[0])
+        row_len = 1 + (N - self.n_taxa)
+        rows_per_tree = N - 1
+        parents = np.ascontiguousarray(
+            np.concatenate(parent_arrays), dtype=np.int32)
+        out = np.empty((len(parent_arrays) * rows_per_tree, row_len),
+                       dtype=np.int64)
+        rc = self._lib.bc_unrooted_representations(
+            self._h,
+            parents.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(parent_arrays), self.n_taxa, default_index,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if rc != 0:
+            err = self._lib.bc_indexer_error(self._h)
+            raise ValueError(err.decode() if err else "native rep failure")
+        result = []
+        for t in range(len(parent_arrays)):
+            block = out[t * rows_per_tree:(t + 1) * rows_per_tree]
+            result.append([row.tolist() for row in block])
+        return result

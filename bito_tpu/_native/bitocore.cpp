@@ -14,6 +14,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 bitocore.cpp -o libbitocore.so
 
+#include <algorithm>
 #include <cstdint>
 #include <stdexcept>
 #include <cctype>
@@ -395,9 +396,9 @@ inline bool Contains(const Blocks& big, const Blocks& small) {
 
 // Enumerate the rooted subsplit pairs for rooting at `edge`
 // (the clade arithmetic of bito_tpu/sbn/maps.py virtual_rooted_subsplits).
-void VirtualRootedPCSPs(
-    const TopoCtx& ctx, int edge,
-    std::unordered_map<Blocks, int64_t, BlocksHash>* pcsp_set) {
+// Emits one PCSP key (sister|focal|small-child-clade blocks) per internal
+// node of the virtually rooted tree into `keys`.
+void RootingPCSPKeys(const TopoCtx& ctx, int edge, std::vector<Blocks>* keys) {
   int N = static_cast<int>(ctx.parent.size());
   int root = N - 1;
   const Blocks& Bu = ctx.below[edge];
@@ -483,8 +484,49 @@ void VirtualRootedPCSPs(
     pcsp.insert(pcsp.end(), sister.begin(), sister.end());
     pcsp.insert(pcsp.end(), focal.begin(), focal.end());
     pcsp.insert(pcsp.end(), small.begin(), small.end());
-    (*pcsp_set)[pcsp] = 1;
+    keys->push_back(std::move(pcsp));
   }
+}
+
+void VirtualRootedPCSPs(
+    const TopoCtx& ctx, int edge,
+    std::unordered_map<Blocks, int64_t, BlocksHash>* pcsp_set) {
+  std::vector<Blocks> keys;
+  RootingPCSPKeys(ctx, edge, &keys);
+  for (auto& k : keys) (*pcsp_set)[std::move(k)] = 1;
+}
+
+// The UCA->rootsplit PCSP key for rooting at `edge`
+// (bito_tpu/sbn/maps.py pcsp_from_uca_to_rootsplit): sister = empty,
+// focal = full taxon set, child = string-lex smaller rootsplit clade.
+Blocks RootsplitPCSPKey(const TopoCtx& ctx, int edge) {
+  int nb = ctx.n_blocks;
+  Blocks comp = Complement(ctx, ctx.below[edge]);
+  const Blocks& small =
+      CompareClades(ctx.below[edge], comp) < 0 ? ctx.below[edge] : comp;
+  Blocks key(3 * nb, 0);
+  for (int b = 0; b < nb; b++) key[nb + b] = ctx.full[b];
+  for (int b = 0; b < nb; b++) key[2 * nb + b] = small[b];
+  return key;
+}
+
+struct IndexerHandle {
+  std::unordered_map<Blocks, int64_t, BlocksHash> map;
+  int nb = 0;
+  std::string error;
+};
+
+TopoCtx MakeCtx(const int32_t* parents, int N, int n_taxa, int n_blocks) {
+  TopoCtx ctx;
+  ctx.n_taxa = n_taxa;
+  ctx.n_blocks = n_blocks;
+  ctx.parent.assign(parents, parents + N);
+  ctx.children.assign(N, {});
+  for (int v = 0; v < N - 1; v++) ctx.children[ctx.parent[v]].push_back(v);
+  ctx.full.assign(n_blocks, 0);
+  for (int v = 0; v < n_taxa; v++) ctx.full[v / 64] |= 1ull << (v % 64);
+  ComputeBelow(ctx);
+  return ctx;
 }
 
 }  // namespace
@@ -607,5 +649,78 @@ void bc_counter_data(void* h, uint64_t* rs_blocks, int64_t* rs_counts,
 }
 
 void bc_counter_free(void* h) { delete static_cast<CounterResult*>(h); }
+
+// ---------------------------------------------------------------------------
+// Indexer representations (reference UnrootedSBNMaps::IndexerRepresentationOf,
+// src/sbn_maps.cpp:200-262): per virtual rooting, [UCA->rootsplit index,
+// sorted PCSP indices...].  The indexer is uploaded once per support as
+// concatenated 3*nb-block PCSP keys.
+// ---------------------------------------------------------------------------
+
+void* bc_pcsp_indexer(const uint64_t* blocks, const int64_t* indices,
+                      int count, int nb) {
+  auto* h = new IndexerHandle();
+  h->nb = nb;
+  h->map.reserve(static_cast<size_t>(count) * 2);
+  for (int i = 0; i < count; i++) {
+    Blocks key(blocks + static_cast<size_t>(i) * 3 * nb,
+               blocks + static_cast<size_t>(i + 1) * 3 * nb);
+    h->map[std::move(key)] = indices[i];
+  }
+  return h;
+}
+
+void bc_pcsp_indexer_free(void* h) { delete static_cast<IndexerHandle*>(h); }
+
+const char* bc_indexer_error(void* h) {
+  auto* r = static_cast<IndexerHandle*>(h);
+  return r->error.empty() ? nullptr : r->error.c_str();
+}
+
+// out shape: [num_trees * (N-1) rows, 1 + (N - n_taxa)] int64, where N is
+// the (common) node count.  Returns 0 on success, -1 on error (message via
+// bc_indexer_error on the indexer handle).
+int bc_unrooted_representations(void* idx_handle, const int32_t* parents,
+                                const int32_t* sizes, int num_trees,
+                                int n_taxa, int64_t default_index,
+                                int64_t* out) {
+  auto* idx = static_cast<IndexerHandle*>(idx_handle);
+  idx->error.clear();
+  try {
+    int n_blocks = (n_taxa + 63) / 64;
+    size_t offset = 0;
+    size_t pos = 0;
+    for (int t = 0; t < num_trees; t++) {
+      int N = sizes[t];
+      int row_len = 1 + (N - n_taxa);
+      TopoCtx ctx = MakeCtx(parents + offset, N, n_taxa, n_blocks);
+      offset += N;
+      std::vector<Blocks> keys;
+      for (int e = 0; e < N - 1; e++) {
+        Blocks root_key = RootsplitPCSPKey(ctx, e);
+        auto it = idx->map.find(root_key);
+        out[pos++] = (it == idx->map.end()) ? default_index : it->second;
+        keys.clear();
+        RootingPCSPKeys(ctx, e, &keys);
+        if (static_cast<int>(keys.size()) != row_len - 1) {
+          throw std::runtime_error("internal: rooting emitted " +
+                                   std::to_string(keys.size()) + " PCSPs, " +
+                                   "expected " + std::to_string(row_len - 1));
+        }
+        int64_t* row = out + pos;
+        for (size_t k = 0; k < keys.size(); k++) {
+          auto kit = idx->map.find(keys[k]);
+          row[k] = (kit == idx->map.end()) ? default_index : kit->second;
+        }
+        std::sort(row, row + keys.size());
+        pos += row_len - 1;
+      }
+    }
+  } catch (const std::exception& e) {
+    idx->error = e.what();
+    return -1;
+  }
+  return 0;
+}
 
 }  // extern "C"

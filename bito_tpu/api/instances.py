@@ -174,10 +174,20 @@ class GenericSBNInstance:
         return [rootsplit, subsplit]
 
     def make_indexer_representations(self):
-        return [
+        # Memoized per tree set: a VBPI step asks for the representations of
+        # the same sampled trees several times (SBN probabilities, topology
+        # gradients), and each computation walks every virtual rooting.
+        key = (id(self.sbn_support),) + tuple(
+            id(t.topology) for t in self.tree_collection.trees)
+        cached = getattr(self, "_indexer_reps_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        reps = [
             self.sbn_support.indexer_representation_of(t.topology)
             for t in self.tree_collection.trees
         ]
+        self._indexer_reps_cache = (key, reps)
+        return reps
 
     def make_psp_indexer_representations(self):
         return [

@@ -35,7 +35,9 @@ def bits_of_string(s: str) -> int:
 
 
 def string_of_bits(v: int, n: int) -> str:
-    return "".join("1" if (v >> i) & 1 else "0" for i in range(n))
+    # bit i of v lands at string position i (LSB first); format() keeps
+    # this off the hot path (it dominated VBPI step profiles at 8s/step).
+    return format(v, "b").zfill(n)[::-1]
 
 
 def popcount(v: int) -> int:

@@ -72,7 +72,28 @@ class SBNSupport:
         sentinel = len(self.indexer)
         if self.rooted:
             return maps.rooted_representation(self.indexer, topo, sentinel)
+        native = self._native_pcsp_indexer()
+        if native is not None:
+            return native.unrooted_representations(
+                [np.asarray(topo.parents, dtype=np.int32)], sentinel)[0]
         return maps.unrooted_representation(self.indexer, topo, sentinel)
+
+    def _native_pcsp_indexer(self):
+        """Lazy native indexer handle (the VBPI hot path builds one
+        representation per sampled tree per step)."""
+        cached = getattr(self, "_native_indexer", False)
+        if cached is not False:
+            return cached
+        idx = None
+        try:
+            from .. import _native
+
+            if _native.available():
+                idx = _native.PCSPIndexer(self.indexer, self.num_taxa)
+        except Exception:
+            idx = None
+        self._native_indexer = idx
+        return idx
 
     def pretty_indexer(self) -> List[str]:
         return list(self.pretty)

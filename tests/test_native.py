@@ -70,3 +70,59 @@ class TestNativeCounters:
         }
         assert rs_py_int == rs_n
         assert pcsp_py_int == pcsp_n
+
+
+class TestNativeRepresentations:
+    """Native unrooted indexer representations match the Python path
+    exactly (bitocore bc_unrooted_representations vs
+    sbn.maps.unrooted_representation)."""
+
+    def test_ds1_parity(self, data_dir):
+        from bito_tpu import _native
+        from bito_tpu.api.instances import unrooted_instance
+        from bito_tpu.sbn import maps
+
+        if not _native.available():
+            pytest.skip("native library unavailable")
+        inst = unrooted_instance("ds1")
+        inst.read_newick_file(str(data_dir / "DS1.100_topologies.nwk"))
+        inst.process_loaded_trees()
+        sup = inst.sbn_support
+        native = sup._native_pcsp_indexer()
+        assert native is not None
+        sentinel = sup.size()
+        topos = [t.topology for t in inst.tree_collection.trees][:10]
+        for topo in topos:
+            got = [list(map(int, r))
+                   for r in sup.indexer_representation_of(topo)]
+            want = maps.unrooted_representation(sup.indexer, topo, sentinel)
+            assert got == want
+
+    def test_out_of_support_sentinel(self, data_dir):
+        """Sampled trees outside the support get the sentinel index, same
+        as the Python path."""
+        from bito_tpu import _native
+        from bito_tpu.api.instances import unrooted_instance
+        from bito_tpu.sbn import maps
+
+        if not _native.available():
+            pytest.skip("native library unavailable")
+        inst = unrooted_instance("five")
+        inst.read_newick_file(str(data_dir / "five_taxon_unrooted.nwk"))
+        inst.process_loaded_trees()
+        inst.train_simple_average()
+        sup = inst.sbn_support
+        # A support built from one tree only: the others' rootings go
+        # out of support.
+        small = unrooted_instance("one")
+        small.read_newick_file(str(data_dir / "five_taxon_unrooted.nwk"))
+        small.tree_collection.trees = small.tree_collection.trees[:1]
+        small.process_loaded_trees()
+        ssup = small.sbn_support
+        sentinel = ssup.size()
+        for t in inst.tree_collection.trees:
+            got = [list(map(int, r))
+                   for r in ssup.indexer_representation_of(t.topology)]
+            want = maps.unrooted_representation(ssup.indexer, t.topology,
+                                                sentinel)
+            assert got == want
