@@ -43,12 +43,20 @@ def _logsumexp(x: np.ndarray, axis=None):
 
 def normalize_in_log(sbn_parameters: np.ndarray, support: SBNSupport) -> np.ndarray:
     """Normalize each segment so it holds log probabilities (reference
-    ProbabilityNormalizeParamsInLog, src/sbn_probability.cpp:135-144)."""
-    out = sbn_parameters.copy()
-    for start, end in support.segments():
-        seg = out[start:end]
-        out[start:end] = seg - _logsumexp(seg)
-    return out
+    ProbabilityNormalizeParamsInLog, src/sbn_probability.cpp:135-144).
+    Segment ranges partition the support contiguously, so the whole pass is
+    two reduceat sweeps instead of a per-segment Python loop."""
+    x = np.asarray(sbn_parameters, dtype=np.float64)
+    starts = np.asarray(sorted(s for s, _ in support.segments()),
+                        dtype=np.int64)
+    rank = np.searchsorted(starts, np.arange(x.size), side="right") - 1
+    m = np.maximum.reduceat(x, starts)
+    finite = np.isfinite(m)
+    m_safe = np.where(finite, m, 0.0)
+    sums = np.add.reduceat(np.exp(x - m_safe[rank]), starts)
+    lse = np.where(finite, np.log(sums) + m_safe, m)
+    lse_i = lse[rank]
+    return np.where(np.isfinite(lse_i), x - lse_i, NEG_INF)
 
 
 def set_log_counts(support: SBNSupport, representations, counts) -> np.ndarray:
@@ -162,6 +170,19 @@ def probability_of(support_size: int, sbn_parameters: np.ndarray, rep) -> float:
 def probabilities_of_collection(support: SBNSupport, sbn_parameters, reps
                                 ) -> np.ndarray:
     norm = sbn_parameters  # caller supplies normalized-in-log parameters
-    return np.asarray(
-        [probability_of(support.size(), norm, rep) for rep in reps]
-    )
+    if not reps:
+        return np.zeros(0)
+    if not isinstance(reps[0][0], (list, tuple, np.ndarray)):
+        # rooted: one flat representation per tree
+        return np.asarray(
+            [probability_of(support.size(), norm, rep) for rep in reps]
+        )
+    size = support.size()
+    packed = _pack_unrooted(reps)                       # [T, R, L], pad -1
+    present = packed >= 0
+    in_support = present & (packed < size)
+    row_ok = present.any(-1) & ~(present & ~in_support).any(-1)
+    padded = np.concatenate([np.asarray(norm, np.float64), [0.0]])
+    entry = np.where(in_support, padded[np.where(in_support, packed, 0)], 0.0)
+    log_p_rooted = np.where(row_ok, entry.sum(-1), NEG_INF)   # [T, R]
+    return np.exp(_logsumexp(log_p_rooted, axis=1))

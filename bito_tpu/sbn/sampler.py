@@ -22,16 +22,32 @@ class TopologySampler:
         self.rng = rng or np.random.default_rng()
 
     def _sample_index(self, probs: np.ndarray, start: int, end: int) -> int:
-        seg = probs[start:end]
-        total = seg.sum()
+        # Inverse-CDF draw; rng.choice(p=...) costs ~20us per call and this
+        # runs once per tree node in the VBPI sampling loop.
+        cum = np.cumsum(probs[start:end])
+        total = cum[-1]
         assert total > 0, "SampleIndex given segment with zero weight"
-        return start + int(self.rng.choice(end - start, p=seg / total))
+        k = int(np.searchsorted(cum, self.rng.random() * total, side="right"))
+        return start + min(k, end - start - 1)
 
-    def sample(self, sbn_probabilities: np.ndarray, rooted: bool) -> Topology:
+    def _sample_index_cum(self, cum: np.ndarray, start: int, end: int) -> int:
+        """Like _sample_index but over a whole-vector cumulative sum,
+        computed once per sampling batch."""
+        base = cum[start - 1] if start > 0 else 0.0
+        total = cum[end - 1] - base
+        assert total > 0, "SampleIndex given segment with zero weight"
+        k = int(np.searchsorted(cum[start:end],
+                                base + self.rng.random() * total,
+                                side="right"))
+        return start + min(k, end - start - 1)
+
+    def sample(self, sbn_probabilities: np.ndarray, rooted: bool,
+               _cum: Optional[np.ndarray] = None) -> Topology:
         """sbn_probabilities: probability-normalized (not log) parameters."""
         sup = self.support
         n = sup.num_taxa
-        ridx = self._sample_index(sbn_probabilities, 0, sup.rootsplit_count)
+        cum = np.cumsum(sbn_probabilities) if _cum is None else _cum
+        ridx = self._sample_index_cum(cum, 0, sup.rootsplit_count)
         rootsplit = sup.rootsplits[ridx]
         children: List[List[int]] = [[] for _ in range(n)]
 
@@ -44,7 +60,7 @@ class TopologySampler:
                     kids.append(bit_indices(clade)[0])
                 else:
                     rng_ = sup.parent_to_range[ss.to_string()]
-                    cidx = self._sample_index(sbn_probabilities, *rng_)
+                    cidx = self._sample_index_cum(cum, *rng_)
                     child_ss = sup.index_to_child[cidx]
                     kids.append(grow(child_ss))
             node = len(children)
@@ -59,7 +75,9 @@ class TopologySampler:
 
     def sample_many(self, sbn_probabilities: np.ndarray, count: int,
                     rooted: bool) -> List[Topology]:
-        return [self.sample(sbn_probabilities, rooted) for _ in range(count)]
+        cum = np.cumsum(sbn_probabilities)
+        return [self.sample(sbn_probabilities, rooted, _cum=cum)
+                for _ in range(count)]
 
 
 def deroot_to_trifurcation(topo: Topology) -> Topology:
