@@ -412,6 +412,44 @@ class GPEngine:
     # ------------------------------------------------------------------
     # public API (mirroring reference GPEngine / GPInstance verbs)
     # ------------------------------------------------------------------
+    def shard_patterns(self, mesh, axis: str = "sites"):
+        """Shard the site-pattern axis of the engine across a device mesh
+        (SURVEY P5/P6: site patterns are the single distributed axis; DAG
+        structure, q, and branch lengths stay replicated).  Patterns are
+        padded to the mesh size with weight-zero all-ones columns, the
+        tip/weight tensors are re-placed with NamedShardings, and the
+        wavefront programs are rebuilt so XLA propagates the sharding
+        through every PLV and inserts psums for the per-edge reductions."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = mesh.shape[axis]
+        pad = (-self.S) % n_dev
+        tips = np.asarray(self.tips)
+        weights = np.asarray(self.weights)
+        if pad:
+            tips = np.concatenate(
+                [tips, np.ones(tips.shape[:2] + (pad,), tips.dtype)],
+                axis=-1,
+            )
+            weights = np.concatenate(
+                [weights, np.zeros(pad, weights.dtype)])
+            self.S = tips.shape[-1]
+        self.tips = jax.device_put(
+            jnp.asarray(tips, dtype=self.dtype),
+            NamedSharding(mesh, PartitionSpec(None, None, axis)),
+        )
+        self.weights = jax.device_put(
+            jnp.asarray(weights, dtype=self.dtype),
+            NamedSharding(mesh, PartitionSpec(axis)),
+        )
+        # Stale per-pattern state; programs close over tips/weights/S.
+        self.plv = None
+        self.ls = None
+        self.per_edge_ll = None
+        self.log_marginal_site = None
+        self._build_programs()
+
     def populate_plvs(self):
         self.plv, self.ls = self._populate(self.branch_lengths, self.q)
 

@@ -116,3 +116,36 @@ np.testing.assert_allclose(np.asarray(g8), g1, atol=1e-8)
 print("SHARDED-GRad-OK")
 """)
         assert "SHARDED-GRad-OK" in out
+
+    def test_gp_engine_sharded_matches_single_device(self):
+        out = run_payload(PRELUDE + """
+import numpy as np
+from bito_tpu.api.gp import gp_instance
+from bito_tpu.dist.mesh import make_mesh
+
+def build():
+    inst = gp_instance("")
+    inst.read_fasta_file("/root/reference/data/ds1-reduced-5.fasta")
+    inst.read_newick_file("/root/reference/data/ds1-reduced-5.nwk")
+    inst.make_dag()
+    inst.make_gp_engine()
+    return inst
+
+ref = build()
+ref.estimate_branch_lengths(1e-4, 5, quiet=True)
+ref.populate_plvs(); ref.compute_likelihoods()
+m1 = ref.get_log_marginal_likelihood()
+bl1 = np.asarray(ref.get_gp_engine().branch_lengths)
+
+sharded = build()
+sharded.get_gp_engine().shard_patterns(make_mesh(8))
+sharded.estimate_branch_lengths(1e-4, 5, quiet=True)
+sharded.populate_plvs(); sharded.compute_likelihoods()
+m8 = sharded.get_log_marginal_likelihood()
+bl8 = np.asarray(sharded.get_gp_engine().branch_lengths)
+
+np.testing.assert_allclose(m8, m1, atol=1e-9)
+np.testing.assert_allclose(bl8, bl1, atol=1e-9)
+print("GP-SHARDED-OK", m8)
+""")
+        assert "GP-SHARDED-OK" in out
