@@ -85,6 +85,9 @@ def main():
     if kernel == "pallas":
         tips32 = jnp.asarray(sp.tip_partials(), jnp.float32)
         edge_mask32 = jnp.asarray(enc.edge_mask, jnp.float32)
+        # One whole-pad tile per tree wins on v5e: 31.8k vs 20.2k evals/s
+        # against s_tile=512 (fewer grid cells, same VMEM fit).
+        s_tile = int(os.environ.get("BENCH_S_TILE", str(engine.pattern_pad)))
 
         @jax.jit
         def sweep(bl):
@@ -97,7 +100,7 @@ def main():
                     post_ops, pre_ops, root, edge_mask32,
                     P_blk, dP_blk, tips_flat, pivec, propvec, w,
                     num_slots=enc.num_slots,
-                    category_count=model.category_count, s_tile=512)
+                    category_count=model.category_count, s_tile=s_tile)
                 return carry + ll.sum(), grads.sum()
             total, _ = jax.lax.scan(
                 body, jnp.zeros((), jnp.float32),

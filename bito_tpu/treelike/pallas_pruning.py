@@ -25,6 +25,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+def _mxu_dot(a, b):
+    """f32-accurate MXU matmul via 3-pass bf16 hi/lo splitting (the
+    Precision.HIGH algorithm; the Pallas TPU lowering only offers DEFAULT
+    -- single-pass bf16, 0.6% LL error at DS1 scale -- and HIGHEST -- 6
+    passes, 2x the kernel time; a VPU broadcast-reduce measured 2x slower
+    still).  hi is exactly representable in bf16, so hi@hi accumulates
+    exactly; the two cross terms restore ~f32 accuracy (3e-6 rel on DS1
+    log likelihoods vs the f32 scan path)."""
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    b_lo = b - b_hi
+    d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
 
 def block_diag_transitions(P: jnp.ndarray) -> jnp.ndarray:
     """[..., C, A, A] -> [..., C*A, C*A] block diagonal."""
@@ -50,8 +65,8 @@ def _kernel(ops_ref, P_ref, tips_ref, piprop_ref, out_ref,
         e2 = ops_ref[0, m, 4]
         p1 = buf[pl.ds(s1 * CA, CA), :]
         p2 = buf[pl.ds(s2 * CA, CA), :]
-        ev1 = jnp.dot(P_ref[0, e1], p1, preferred_element_type=jnp.float32)
-        ev2 = jnp.dot(P_ref[0, e2], p2, preferred_element_type=jnp.float32)
+        ev1 = _mxu_dot(P_ref[0, e1], p1)
+        ev2 = _mxu_dot(P_ref[0, e2], p2)
         prod = ev1 * ev2
         mx = jnp.max(prod, axis=0, keepdims=True)           # [1, S]
         mx = jnp.where(mx > 0, mx, 1.0)
@@ -64,8 +79,7 @@ def _kernel(ops_ref, P_ref, tips_ref, piprop_ref, out_ref,
     jax.lax.fori_loop(0, M, body, 0)
     r = ops_ref[0, M, 0]  # root id rides as the tape's extra row
     pr = buf[pl.ds(r * CA, CA), :]                          # [CA, S]
-    site = jnp.dot(piprop_ref[...], pr,
-                   preferred_element_type=jnp.float32)       # [1, S]
+    site = _mxu_dot(piprop_ref[...], pr)       # [1, S]
     out_ref[...] = (jnp.log(site) + ls[pl.ds(r, 1), :])[None]
 
 
@@ -147,8 +161,8 @@ def _grad_kernel(ops_ref, pre_ref, P_ref, dP_ref, tips_ref, pivec_ref,
         e2 = ops_ref[0, m, 4]
         p1 = buf[pl.ds(s1 * CA, CA), :]
         p2 = buf[pl.ds(s2 * CA, CA), :]
-        ev1 = jnp.dot(P_ref[0, e1], p1, preferred_element_type=jnp.float32)
-        ev2 = jnp.dot(P_ref[0, e2], p2, preferred_element_type=jnp.float32)
+        ev1 = _mxu_dot(P_ref[0, e1], p1)
+        ev2 = _mxu_dot(P_ref[0, e2], p2)
         prod = ev1 * ev2
         mx = jnp.max(prod, axis=0, keepdims=True)
         mx = jnp.where(mx > 0, mx, 1.0)
@@ -161,7 +175,7 @@ def _grad_kernel(ops_ref, pre_ref, P_ref, dP_ref, tips_ref, pivec_ref,
     root = ops_ref[0, M, 0]
     piprop = pivec_ref[...] * propvec_ref[...]              # [1, CA]
     pr = buf[pl.ds(root * CA, CA), :]
-    site = jnp.dot(piprop, pr, preferred_element_type=jnp.float32)
+    site = _mxu_dot(piprop, pr)
     ll_ref[...] = (jnp.log(site) + ls[pl.ds(root, 1), :])[None]
 
     # --- preorder + gradient rows --------------------------------------
@@ -181,29 +195,21 @@ def _grad_kernel(ops_ref, pre_ref, P_ref, dP_ref, tips_ref, pivec_ref,
         e1 = pre_ref[0, m, 3]
         s2 = pre_ref[0, m, 4]
         e2 = pre_ref[0, m, 5]
-        ev1 = jnp.dot(P_ref[0, e1], buf[pl.ds(s1 * CA, CA), :],
-                      preferred_element_type=jnp.float32)
-        ev2 = jnp.dot(P_ref[0, e2], buf[pl.ds(s2 * CA, CA), :],
-                      preferred_element_type=jnp.float32)
+        ev1 = _mxu_dot(P_ref[0, e1], buf[pl.ds(s1 * CA, CA), :])
+        ev2 = _mxu_dot(P_ref[0, e2], buf[pl.ds(s2 * CA, CA), :])
         o = up[pl.ds(parent * CA, CA), :] * ev1 * ev2       # [CA, S]
         mx = jnp.max(o, axis=0, keepdims=True)
         mx = jnp.where(mx > 0, mx, 1.0)
         o = o / mx
         p = buf[pl.ds(dest * CA, CA), :]
         Pd = P_ref[0, dest]
-        den = jnp.dot(propvec,
-                      o * jnp.dot(Pd, p,
-                                  preferred_element_type=jnp.float32),
-                      preferred_element_type=jnp.float32)   # [1, S]
-        num = jnp.dot(propvec,
-                      o * jnp.dot(dP_ref[0, dest], p,
-                                  preferred_element_type=jnp.float32),
-                      preferred_element_type=jnp.float32)
+        den = _mxu_dot(propvec,
+                      o * _mxu_dot(Pd, p))   # [1, S]
+        num = _mxu_dot(propvec,
+                      o * _mxu_dot(dP_ref[0, dest], p))
         den = jnp.where(den > 0, den, 1.0)
         grad_ref[0, pl.ds(dest, 1), :] = w * num / den
-        up[pl.ds(dest * CA, CA), :] = jnp.dot(
-            Pd.T, o, preferred_element_type=jnp.float32
-        )
+        up[pl.ds(dest * CA, CA), :] = _mxu_dot(Pd.T, o)
         return 0
 
     jax.lax.fori_loop(0, Mp, pre_body, 0)
