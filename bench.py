@@ -155,6 +155,28 @@ def main():
     }))
     sys.stdout.flush()
 
+    # On-device kernel-vs-kernel parity: the Pallas dots once silently ran
+    # single-pass bf16 (0.6% LL error) — a failure mode interpret-mode CPU
+    # tests cannot see, so guard it on every bench run.
+    if kernel == "pallas" and os.environ.get("BENCH_PARITY", "1") == "1":
+        try:
+            ll_scan, g_scan = engine.ll_and_branch_gradients(trees, params)
+            pk = pallas_pruning.prepare_inputs_grad(
+                enc, tips32, sp.weights, eig, rates, props, clock, base_bl,
+                engine.pattern_pad)
+            ll_pl, g_pl = pallas_pruning.pallas_ll_and_gradients(
+                post_ops, pre_ops, root, edge_mask32, *pk,
+                num_slots=enc.num_slots,
+                category_count=model.category_count, s_tile=s_tile)
+            rel_ll = float(jnp.max(jnp.abs((ll_pl - ll_scan) / ll_scan)))
+            rel_g = float(jnp.max(jnp.abs(g_pl - g_scan))
+                          / jnp.max(jnp.abs(g_scan)))
+            print(f"# pallas-vs-scan on-device: LL rel {rel_ll:.2e}, "
+                  f"grad rel {rel_g:.2e}", file=sys.stderr)
+            assert rel_ll < 1e-4 and rel_g < 1e-4, (rel_ll, rel_g)
+        except Exception as exc:
+            print(f"# pallas parity check failed: {exc}", file=sys.stderr)
+
     # Parity check (float64 on-device vs the reference's pybeagle goldens,
     # src/unrooted_sbn_instance.hpp:252-257); stderr-only, after the JSON
     # line so a slow compile cannot cost the measurement.
