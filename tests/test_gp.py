@@ -270,3 +270,31 @@ class TestDAGStructure:
         # Every generated topology must be contained in the DAG.
         for topo in topologies:
             assert dag.contains_topology(topo)
+
+
+class TestFluARescaling:
+    """Deep-tree numerics (reference gp_doctest "Rescaling" on fluA,
+    src/gp_doctest.cpp:348-359): the reference checks its counted
+    rescaling is threshold-invariant; here rescaling is exact per-site
+    log bookkeeping, so the oracle is stronger — the 69-taxon fluA GP
+    marginal must equal the classical single-tree log likelihood."""
+
+    def test_flua_gp_marginal_matches_classical(self, data_dir):
+        inst = make_gp("fluA.fa", "fluA.tree", data_dir)
+        eng = inst.get_gp_engine()
+        n_edges = inst.get_dag().edge_count()
+        inst.set_branch_lengths(np.full(n_edges, 0.01))
+        inst.populate_plvs()
+        inst.compute_likelihoods()
+        gp_marginal = inst.get_log_marginal_likelihood()
+        assert np.isfinite(gp_marginal)
+
+        seqs = read_fasta(str(data_dir / "fluA.fa"))
+        coll = parse_newick_text(open(data_dir / "fluA.tree").read())
+        tree = coll.trees[0]
+        tree.branch_lengths[:] = 0.01
+        sp = SitePattern(seqs, coll.taxon_names)
+        engine = TreeLikelihoodEngine(
+            sp, PhyloModel(PhyloModelSpecification()))
+        ll = float(np.asarray(engine.log_likelihoods([tree], {}))[0])
+        assert abs(gp_marginal - ll) < 1e-6, (gp_marginal, ll)
