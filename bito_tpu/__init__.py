@@ -8,6 +8,34 @@ JAX/XLA (batched Felsenstein pruning, levelized subsplit-DAG wavefronts,
 pjit site-pattern sharding) instead of BEAGLE/Eigen.
 """
 
+import os as _os
+
+
+def _default_compilation_cache():
+    """Persistent XLA compilation cache, on by default (the NNI search and
+    GP workflows recompile per DAG-growth epoch; a warm cache turns
+    multi-second epoch compiles into millisecond lookups across runs).
+    A user-set JAX_COMPILATION_CACHE_DIR or explicit jax config wins."""
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    if _os.environ.get("BITO_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return
+        cache = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "bito_tpu", "xla")
+        _os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+_default_compilation_cache()
+
 from .api.instances import (
     GenericSBNInstance,
     PhyloGradient,

@@ -216,6 +216,7 @@ class NNIEngine:
                 bl = self.tp.like_engine.optimize_selected_branches(
                     trees, {}, selected,
                     iterations=self._optimization_iterations,
+                    bucket=True,
                 )
                 for b, t in enumerate(trees):
                     t.branch_lengths = bl[b, : t.topology.num_nodes].copy()
@@ -224,7 +225,8 @@ class NNIEngine:
                 scores = -scores  # lower parsimony is better; negate to rank
             else:
                 scores = np.asarray(
-                    self.tp.like_engine.log_likelihoods(trees, {})
+                    self.tp.like_engine.log_likelihoods(trees, {},
+                                                        bucket=True)
                 )
             self.scored.update(zip(keys, map(float, scores)))
             self._candidate_trees.update(zip(keys, trees))

@@ -115,10 +115,27 @@ class TreeLikelihoodEngine:
         return jax.vmap(one)(batched)
 
     # -- public API ------------------------------------------------------
+    @staticmethod
+    def _bucket_trees(trees: Sequence[Tree]):
+        """Pad a tree batch to the next multiple of 32 (powers of two below)
+        by repeating the last tree.  Callers with iteration-varying batch
+        sizes (the NNI loop scores a different candidate count every epoch)
+        opt in so the jitted programs compile once per bucket instead of
+        once per iteration.  Returns (padded_trees, true_count)."""
+        b = len(trees)
+        target = 4
+        while target < b:
+            target = target * 2 if target < 32 else target + 32
+        return list(trees) + [trees[-1]] * (target - b), b
+
     def log_likelihoods(
         self, trees: Sequence[Tree], params: Dict[str, jnp.ndarray],
         branch_lengths: Optional[jnp.ndarray] = None,
+        bucket: bool = False,
     ) -> jnp.ndarray:
+        if bucket and branch_lengths is None:
+            padded, b = self._bucket_trees(trees)
+            return self.log_likelihoods(padded, params)[:b]
         enc = self.encode(trees)
         bl = (branch_lengths if branch_lengths is not None
               else self.branch_length_matrix(trees, enc))
@@ -171,23 +188,32 @@ class TreeLikelihoodEngine:
     def optimize_selected_branches(
         self, trees: Sequence[Tree], params: Dict[str, jnp.ndarray],
         selected_nodes: Sequence[Sequence[int]], iterations: int = 2,
-        max_selected: int = 8,
+        max_selected: int = 8, bucket: bool = False,
     ) -> np.ndarray:
         """Exact conditional Brent optimization of selected branches per
         tree (batched); returns the branch-length matrix [B, N].  The
         classical-engine counterpart of the reference TPEngine's
         proposed-NNI new-edge optimization (src/tp_engine.cpp:1423-1427)."""
+        if bucket:
+            # Pad the batch to a bucket and pin K at max_selected so the
+            # jitted program compiles once per bucket, not per NNI epoch.
+            padded, b = self._bucket_trees(list(trees))
+            sel = list(selected_nodes) + [[]] * (len(padded) - b)
+            K = max_selected
+            trees, selected_nodes = padded, sel
+        else:
+            b = len(trees)
+            K = min(max_selected,
+                    max((len(s) for s in selected_nodes), default=1)) or 1
         enc = self.encode(trees)
         bl = self.branch_length_matrix(trees, enc)
         eig, rates, props, clock = self._model_ingredients(params, len(trees))
-        K = min(max_selected,
-                max((len(s) for s in selected_nodes), default=1)) or 1
         sel = np.full((len(trees), K), enc.num_slots, dtype=np.int32)
         mask = np.zeros((len(trees), K), dtype=bool)
-        for b, nodes in enumerate(selected_nodes):
+        for i, nodes in enumerate(selected_nodes):
             nodes = list(nodes)[:K]
-            sel[b, : len(nodes)] = nodes
-            mask[b, : len(nodes)] = True
+            sel[i, : len(nodes)] = nodes
+            mask[i, : len(nodes)] = True
         out = pruning.optimize_selected_branches_impl(
             jnp.asarray(enc.post_ops), jnp.asarray(enc.pre_ops),
             jnp.asarray(enc.root), self.tip_partials, self.weights, bl,
@@ -197,4 +223,4 @@ class TreeLikelihoodEngine:
             category_count=self.model.category_count,
             iterations=iterations,
         )
-        return np.asarray(out)
+        return np.asarray(out)[:b]
