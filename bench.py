@@ -174,6 +174,11 @@ def main():
             print(f"# pallas-vs-scan on-device: LL rel {rel_ll:.2e}, "
                   f"grad rel {rel_g:.2e}", file=sys.stderr)
             assert rel_ll < 1e-4 and rel_g < 1e-4, (rel_ll, rel_g)
+        except AssertionError:
+            # A genuine parity failure must fail the run (it is the guard
+            # against silent bf16 regressions); only setup/compile errors
+            # are swallowed below.
+            raise
         except Exception as exc:
             print(f"# pallas parity check failed: {exc}", file=sys.stderr)
 

@@ -45,6 +45,19 @@ from ..treelike import phylo_flags as phylo_flags_mod
 DOUBLE_MINIMUM = np.finfo(np.float64).min
 
 
+def _resolve_sbn_backend(backend: str) -> str:
+    """The device (XLA) SBN kernels are calibrated for float64: EM golden
+    parity is pinned at 1e-12 and the monotonicity assert assumes f64 score
+    noise.  Without jax_enable_x64 they would silently run in float32, so
+    fall back to the numpy host path in that case."""
+    if backend == "device":
+        import jax
+
+        if not jax.config.jax_enable_x64:
+            return "numpy"
+    return backend
+
+
 class PhyloGradient:
     """Mirror of bito.PhyloGradient (src/phylo_gradient.hpp): a log
     likelihood plus a string->vector gradient map."""
@@ -177,8 +190,12 @@ class GenericSBNInstance:
         # Memoized per tree set: a VBPI step asks for the representations of
         # the same sampled trees several times (SBN probabilities, topology
         # gradients), and each computation walks every virtual rooting.
-        key = (id(self.sbn_support),) + tuple(
-            id(t.topology) for t in self.tree_collection.trees)
+        # Hold strong references to the keyed objects alongside the id key:
+        # without them CPython may free a replaced tree set and recycle its
+        # ids for new topologies, silently matching a stale entry.
+        refs = (self.sbn_support,) + tuple(
+            t.topology for t in self.tree_collection.trees)
+        key = tuple(id(r) for r in refs)
         cached = getattr(self, "_indexer_reps_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
@@ -186,7 +203,7 @@ class GenericSBNInstance:
             self.sbn_support.indexer_representation_of(t.topology)
             for t in self.tree_collection.trees
         ]
-        self._indexer_reps_cache = (key, reps)
+        self._indexer_reps_cache = (key, reps, refs)
         return reps
 
     def make_psp_indexer_representations(self):
@@ -385,6 +402,7 @@ class UnrootedSBNInstance(GenericSBNInstance):
         (sbn/device.py); backend="numpy" runs the vectorized host loop
         (golden parity between the two is ~1e-11 over 23 DS1 iterations)."""
         reps, counts = self._representation_counter()
+        backend = _resolve_sbn_backend(backend)
         em = (sbn_device.expectation_maximization if backend == "device"
               else sbn_probability.expectation_maximization)
         self.sbn_parameters, score = em(
@@ -395,6 +413,7 @@ class UnrootedSBNInstance(GenericSBNInstance):
     def topology_gradients(self, log_f: np.ndarray, use_vimco: bool = True,
                            backend: str = "device") -> np.ndarray:
         reps = self.make_indexer_representations()
+        backend = _resolve_sbn_backend(backend)
         grads = (sbn_device.topology_gradients if backend == "device"
                  else sbn_gradients.topology_gradients)
         return grads(

@@ -37,7 +37,9 @@ def bits_of_string(s: str) -> int:
 def string_of_bits(v: int, n: int) -> str:
     # bit i of v lands at string position i (LSB first); format() keeps
     # this off the hot path (it dominated VBPI step profiles at 8s/step).
-    return format(v, "b").zfill(n)[::-1]
+    # Mask to n bits first: an unmasked complement would otherwise yield a
+    # string longer than n and corrupt subsplit/PCSP indexer keys.
+    return format(v & ((1 << n) - 1), "b").zfill(n)[::-1]
 
 
 def popcount(v: int) -> int:

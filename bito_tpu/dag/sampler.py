@@ -46,38 +46,51 @@ class DAGTopologySampler:
         # (node, side) -> chosen child id, for every node in the sampled tree.
         chosen: Dict[Tuple[int, bool], int] = {}
 
-        def sample_leafward(node: int, side: bool):
-            neighbors = dag.leafward[node][side]
-            if not neighbors:
-                return  # reached a leaf (or the UCA's empty clade)
-            weights = np.array([params[e] for _, e in neighbors])
-            total = weights.sum()
-            assert total > 0.0, "no probability mass among leafward edges"
-            child, _ = neighbors[self.rng.choice(len(neighbors),
-                                                 p=weights / total)]
-            chosen[(node, side)] = child
-            # VisitNode(child, Rootward, clade): continue leafward both ways.
-            sample_leafward(child, LEFT)
-            sample_leafward(child, RIGHT)
+        # Explicit work stacks (not recursion): deep caterpillar-ish DAGs
+        # would otherwise exceed CPython's recursion limit, where the
+        # reference sampler iterates.
+        def sample_leafward(start_node: int, start_side: bool):
+            stack = [(start_node, start_side)]
+            while stack:
+                node, side = stack.pop()
+                neighbors = dag.leafward[node][side]
+                if not neighbors:
+                    continue  # reached a leaf (or the UCA's empty clade)
+                weights = np.array([params[e] for _, e in neighbors])
+                total = weights.sum()
+                assert total > 0.0, "no probability mass among leafward edges"
+                child, _ = neighbors[self.rng.choice(len(neighbors),
+                                                     p=weights / total)]
+                chosen[(node, side)] = child
+                # VisitNode(child, Rootward, clade): continue leafward both
+                # ways, LEFT subtree fully before RIGHT (recursive order).
+                stack.append((child, RIGHT))
+                stack.append((child, LEFT))
 
         def sample_rootward(node: int):
-            neighbors = (dag.rootward[node][LEFT]
-                         + dag.rootward[node][RIGHT])
-            if not neighbors:
-                return  # reached the UCA root
-            sides = ([LEFT] * len(dag.rootward[node][LEFT])
-                     + [RIGHT] * len(dag.rootward[node][RIGHT]))
-            weights = np.array([inverted[e] for _, e in neighbors])
-            total = weights.sum()
-            assert total > 0.0, "no probability mass among rootward edges"
-            k = self.rng.choice(len(neighbors), p=weights / total)
-            parent, _ = neighbors[k]
-            side = sides[k]
-            chosen[(parent, side)] = node
-            # VisitNode(parent, Leafward, clade): continue rootward and down
-            # the parent's other clade.
-            sample_rootward(parent)
-            sample_leafward(parent, not side)
+            # The rootward walk is a single chain up to the UCA; on the way
+            # back down, each visited parent descends its other clade (the
+            # recursive version's unwind order, preserved for seeded
+            # reproducibility).
+            pending = []
+            while True:
+                neighbors = (dag.rootward[node][LEFT]
+                             + dag.rootward[node][RIGHT])
+                if not neighbors:
+                    break  # reached the UCA root
+                sides = ([LEFT] * len(dag.rootward[node][LEFT])
+                         + [RIGHT] * len(dag.rootward[node][RIGHT]))
+                weights = np.array([inverted[e] for _, e in neighbors])
+                total = weights.sum()
+                assert total > 0.0, "no probability mass among rootward edges"
+                k = self.rng.choice(len(neighbors), p=weights / total)
+                parent, _ = neighbors[k]
+                side = sides[k]
+                chosen[(parent, side)] = node
+                pending.append((parent, not side))
+                node = parent
+            for parent, side in reversed(pending):
+                sample_leafward(parent, side)
 
         sample_rootward(origin_node_id)
         sample_leafward(origin_node_id, LEFT)
@@ -92,15 +105,26 @@ class DAGTopologySampler:
         children: Dict[int, list] = {i: [] for i in range(n)}
         counter = [n]
 
-        def build(node: int) -> int:
-            if dag.is_leaf(node):
-                return node
-            left = build(chosen[(node, LEFT)])
-            right = build(chosen[(node, RIGHT)])
-            nid = counter[0]
-            counter[0] += 1
-            children[nid] = [left, right]
-            return nid
+        def build(start: int) -> int:
+            # Iterative postorder (explicit stack; see the walk note above).
+            result: Dict[int, int] = {}
+            stack = [(start, False)]
+            while stack:
+                node, expanded = stack.pop()
+                if dag.is_leaf(node):
+                    result[node] = node
+                    continue
+                if not expanded:
+                    stack.append((node, True))
+                    stack.append((chosen[(node, RIGHT)], False))
+                    stack.append((chosen[(node, LEFT)], False))
+                else:
+                    nid = counter[0]
+                    counter[0] += 1
+                    children[nid] = [result[chosen[(node, LEFT)]],
+                                     result[chosen[(node, RIGHT)]]]
+                    result[node] = nid
+            return result[start]
 
         root = build(rootsplit)
         maxid = max(children.keys())
