@@ -131,11 +131,9 @@ def checkpoint_burrito(burro, path: str, step: int = 0):
         "sbn_parameters": np.asarray(burro.inst.sbn_parameters),
         "step_size": np.asarray(opt.step_size),
         "sbn_step_size": opt.sbn_step_size,
-        "adam_t": opt.sgd_server.t,
-        "adam_mean": {k: np.asarray(v)
-                      for k, v in opt.sgd_server.mean_grad.items()},
-        "adam_var": {k: np.asarray(v)
-                     for k, v in opt.sgd_server.var_grad.items()},
+        "adam_t": opt.adam_count,
+        "adam_mean": opt.adam_mu,
+        "adam_var": opt.adam_nu,
     })
 
 
@@ -146,9 +144,6 @@ def restore_burrito(burro, path: str) -> int:
     opt = burro.opt
     opt.step_size = state["step_size"]
     opt.sbn_step_size = state["sbn_step_size"]
-    opt.sgd_server.t = int(state["adam_t"])
-    for k, v in state["adam_mean"].items():
-        opt.sgd_server.mean_grad[k][:] = v
-    for k, v in state["adam_var"].items():
-        opt.sgd_server.var_grad[k][:] = v
+    opt.set_adam_state(int(state["adam_t"]), state["adam_mean"],
+                       state["adam_var"])
     return int(state["step"])

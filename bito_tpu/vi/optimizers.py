@@ -1,112 +1,150 @@
-"""VI optimizers: SimpleOptimizer and BumpStepsizeOptimizer
-(reference: vip/optimizers.py:19-127), driving SGD_Server.adam over
-{scalar_params, sbn_params}."""
+"""VI optimizers on optax.
+
+The reference ships a hand-rolled dict-of-arrays Adam (vip/sgd_server.py)
+driven by two step-size policies (vip/optimizers.py: SimpleOptimizer decays
+every step; BumpStepsizeOptimizer grows until the ELBO trace worsens, then
+restores the best parameters and decays).  Here the moment bookkeeping is
+optax (`scale_by_adam` over the {scalar, sbn} parameter pytree — the
+TPU-idiomatic form) and only the step-size *policies* are implemented, with
+the reference's schedule constants so ELBO trajectories remain comparable.
+
+Conventions matched to the reference Adam (vip/sgd_server.py:32-46): ascent
+(updates are added), bias-corrected moments, epsilon 1e-8 added outside the
+square root — all of which `optax.scale_by_adam` reproduces exactly.
+"""
 from __future__ import annotations
 
-import abc
-
 import numpy as np
+import optax
 
-from .sgd_server import SGD_Server
+
+_ADAM = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+
+_SCALAR = "scalar_params"
+_SBN = "sbn_params"
 
 
-class BaseOptimizer(abc.ABC):
+class _AdamPolicyOptimizer:
+    """Shared machinery: one optax Adam over the two parameter groups, with
+    per-group step sizes applied outside the transformation (they change
+    every step under the policies below, so they cannot be baked into the
+    optax chain)."""
+
+    # Policy constants (subclass overrides).
+    decay_rate = 1.0 - 1e-2
+
     def __init__(self, sbn_model, scalar_model, elbo_estimator_fun):
         self.sbn_model = sbn_model
         self.scalar_model = scalar_model
         self.estimate_elbo = elbo_estimator_fun
-        self.trace = []
+        self.trace: list = []
         self.step_number = 0
         self.step_size = scalar_model.suggested_step_size()
         self.sbn_step_size = 0.001
-        self.sgd_server = SGD_Server(
-            {
-                "scalar_params": scalar_model.q_params.shape,
-                "sbn_params": sbn_model.sbn_parameters.shape,
-            }
+        self._params_template = {
+            _SCALAR: np.zeros(scalar_model.q_params.shape),
+            _SBN: np.zeros(sbn_model.sbn_parameters.shape),
+        }
+        self.opt_state = _ADAM.init(self._params_template)
+
+    # -- checkpointing surface -------------------------------------------
+    @property
+    def adam_count(self) -> int:
+        return int(self.opt_state.count)
+
+    @property
+    def adam_mu(self) -> dict:
+        return {k: np.asarray(v) for k, v in self.opt_state.mu.items()}
+
+    @property
+    def adam_nu(self) -> dict:
+        return {k: np.asarray(v) for k, v in self.opt_state.nu.items()}
+
+    def set_adam_state(self, count: int, mu: dict, nu: dict):
+        self.opt_state = optax.ScaleByAdamState(
+            count=np.asarray(count, dtype=np.int32),
+            mu={k: np.asarray(v) for k, v in mu.items()},
+            nu={k: np.asarray(v) for k, v in nu.items()},
         )
 
-    def _simple_gradient_step(self, grad_dict, history=None):
-        scalar_grad = grad_dict["scalar_params"]
-        sbn_grad = grad_dict["sbn_params"]
-        assert self.scalar_model.q_params.shape == scalar_grad.shape
-        if not np.isfinite(np.array([scalar_grad])).all():
+    # -- stepping ----------------------------------------------------------
+    def _apply_adam(self, grad_dict) -> bool:
+        if not np.all(np.isfinite(grad_dict[_SCALAR])):
             return False
-        assert self.sbn_model.sbn_parameters.shape == sbn_grad.shape
-        update = self.sgd_server.adam(
-            {"scalar_params": self.step_size, "sbn_params": self.sbn_step_size},
-            {
-                "scalar_params": self.scalar_model.q_params,
-                "sbn_params": self.sbn_model.sbn_parameters,
-            },
-            grad_dict,
-        )
-        self.scalar_model.q_params += update["scalar_params"]
-        self.sbn_model.sbn_parameters += update["sbn_params"]
-        if history is not None:
-            history.append(self.scalar_model.q_params.copy())
-            history.append(self.sbn_model.sbn_parameters.copy())
+        assert grad_dict[_SCALAR].shape == self.scalar_model.q_params.shape
+        assert grad_dict[_SBN].shape == self.sbn_model.sbn_parameters.shape
+        grads = {_SCALAR: np.asarray(grad_dict[_SCALAR]),
+                 _SBN: np.asarray(grad_dict[_SBN])}
+        direction, self.opt_state = _ADAM.update(grads, self.opt_state)
+        self.scalar_model.q_params += (
+            self.step_size * np.asarray(direction[_SCALAR]))
+        self.sbn_model.sbn_parameters += (
+            self.sbn_step_size * np.asarray(direction[_SBN]))
         return True
 
     def gradient_step(self, grad_dict, history=None):
-        ok = self._simple_gradient_step(grad_dict, history)
+        ok = self._apply_adam(grad_dict)
+        if ok and history is not None:
+            history.append(self.scalar_model.q_params.copy())
+            history.append(self.sbn_model.sbn_parameters.copy())
         self.update(ok)
 
-    @abc.abstractmethod
     def update(self, gradient_step_was_successful):
-        ...
+        raise NotImplementedError
 
 
-class SimpleOptimizer(BaseOptimizer):
-    def __init__(self, sbn_model, scalar_model, elbo_estimator_fun):
-        super().__init__(sbn_model, scalar_model, elbo_estimator_fun)
-        self.stepsize_decreasing_rate = 1 - 1e-2
+class SimpleOptimizer(_AdamPolicyOptimizer):
+    """Decay the step size geometrically; halve it on a non-finite gradient
+    (reference vip/optimizers.py SimpleOptimizer)."""
 
     def update(self, gradient_step_was_successful):
-        if gradient_step_was_successful:
-            self.step_size *= self.stepsize_decreasing_rate
-        else:
-            self.step_size /= 2
+        self.step_size *= (self.decay_rate if gradient_step_was_successful
+                           else 0.5)
         self.step_number += 1
 
 
-class BumpStepsizeOptimizer(BaseOptimizer):
-    """Grow the stepsize until the ELBO trace worsens, then restore the best
-    parameters and decay (reference vip/optimizers.py:84-127)."""
+class BumpStepsizeOptimizer(_AdamPolicyOptimizer):
+    """Warm up the step size aggressively, then back off: grow 1.2x per step
+    while a 5-step sliding window of ELBO estimates keeps improving; once it
+    worsens (or a gradient goes non-finite), restore the best parameters
+    seen, cut the step size by 4, and decay from there (reference
+    vip/optimizers.py BumpStepsizeOptimizer)."""
+
+    window = 5
+    growth_rate = 1.2
+    peak_drop = 4.0
 
     def __init__(self, sbn_model, scalar_model, elbo_estimator_fun):
         super().__init__(sbn_model, scalar_model, elbo_estimator_fun)
-        self.window_size = 5
-        self.stepsize_increasing_rate = 1.2
-        self.stepsize_decreasing_rate = 1 - 1e-2
-        self.stepsize_drop_from_peak = 4
-        self.stepsize_increasing = True
-        self.best_elbo = -np.inf
-        self.best_q_params = np.zeros(scalar_model.q_params.shape)
+        self._warming_up = True
+        self._best_elbo = -np.inf
+        self._best_q_params = np.array(scalar_model.q_params, copy=True)
 
-    def _turn_around(self):
-        np.copyto(self.scalar_model.q_params, self.best_q_params)
-        self.step_size /= self.stepsize_drop_from_peak
-        self.stepsize_increasing = False
+    def _back_off(self):
+        np.copyto(self.scalar_model.q_params, self._best_q_params)
+        self.step_size /= self.peak_drop
+        self._warming_up = False
+
+    def _window_worsened(self) -> bool:
+        w = self.window
+        if self.step_number < 2 * w:
+            return False
+        return np.mean(self.trace[-w:]) < np.mean(self.trace[-2 * w: -w])
 
     def update(self, gradient_step_was_successful):
         if not gradient_step_was_successful:
-            self._turn_around()
-        if self.stepsize_increasing and self.step_number >= 2 * self.window_size:
-            last = self.trace[-self.window_size:]
-            prev = self.trace[-2 * self.window_size: -self.window_size]
-            if np.mean(last) < np.mean(prev):
-                self._turn_around()
-        if self.stepsize_increasing:
-            self.step_size *= self.stepsize_increasing_rate
-        else:
-            self.step_size *= self.stepsize_decreasing_rate
-        self.trace.append(self.estimate_elbo(particle_count=500))
-        if self.trace[-1] > self.best_elbo:
-            self.best_elbo = self.trace[-1]
-            np.copyto(self.best_q_params, self.scalar_model.q_params)
+            self._back_off()
+        if self._warming_up and self._window_worsened():
+            self._back_off()
+        self.step_size *= (self.growth_rate if self._warming_up
+                           else self.decay_rate)
+        elbo = self.estimate_elbo(particle_count=500)
+        self.trace.append(elbo)
+        if elbo > self._best_elbo:
+            self._best_elbo = elbo
+            np.copyto(self._best_q_params, self.scalar_model.q_params)
         self.step_number += 1
-        return np.isfinite(self.trace[-1])
+        return np.isfinite(elbo)
 
 
 def of_name(name, sbn_model, scalar_model, elbo_estimator_fun):
