@@ -54,7 +54,10 @@ class GPInstance:
         if self.dag is None:
             self.make_dag()
         sp = SitePattern(self.alignment, self.tree_collection.taxon_names)
-        self.engine = GPEngine(sp, self.dag)
+        self.engine = GPEngine(
+            sp, self.dag,
+            optimization_method=("brent_with_gradients" if use_gradients
+                                 else "brent"))
 
     make_engine = make_gp_engine  # reference alias (older API)
 
@@ -406,15 +409,30 @@ def _print_status(self: GPInstance):
 
 
 def _set_rescaling(self: GPInstance, use_rescaling: bool):
-    # Rescaling is exact and always on in this engine; accepted for
-    # API compatibility.
-    self._rescaling = use_rescaling
+    # This engine's per-site log-scale rescaling is exact and structural
+    # (folded into every wavefront op), so enabling it is already true;
+    # disabling it has no faithful equivalent and silently ignoring the
+    # request would misrepresent the computation — refuse loudly.
+    if not use_rescaling:
+        raise NotImplementedError(
+            "bito_tpu's GP engine always applies exact per-site rescaling; "
+            "running without rescaling is not supported")
+    self._rescaling = True
 
 
 def _use_gradient_optimization(self: GPInstance, use_gradients: bool = True):
-    # Brent vs Newton selection; the batched Brent is the default and
-    # Newton is available in gp/optimize.py.
+    """Reference GPInstance::UseGradientOptimization
+    (src/gp_instance.cpp:385-387): Brent vs Brent-with-gradient-fallback."""
     self._use_gradients = use_gradients
+    if self.engine is not None:
+        self.engine.use_gradient_optimization(use_gradients)
+
+
+def _set_optimization_method(self: GPInstance, method: str):
+    """Reference GPInstance::SetOptimizationMethod: full method selection
+    (brent / brent_with_gradients / gradient_ascent /
+    log_space_gradient_ascent / newton)."""
+    self.get_gp_engine().set_optimization_method(method)
 
 
 def _read_newick_file_gz(self: GPInstance, path: str):
@@ -453,6 +471,7 @@ for _name, _fn in [
     ("print_status", _print_status),
     ("set_rescaling", _set_rescaling),
     ("use_gradient_optimization", _use_gradient_optimization),
+    ("set_optimization_method", _set_optimization_method),
     ("read_newick_file_gz", _read_newick_file_gz),
     ("read_nexus_file_gz", _read_nexus_file_gz),
 ]:

@@ -81,9 +81,10 @@ def _pad_stack(arrays: List[np.ndarray], pad_value: int,
 
 class GPEngine:
     def __init__(self, site_pattern: SitePattern, dag: SubsplitDAG,
-                 dtype=None):
+                 dtype=None, optimization_method: str = "brent"):
         self.site_pattern = site_pattern
         self.dag = dag
+        self.optimization_method = optimization_method
         self.dtype = dtype or jnp.zeros(0).dtype
         self.schedule = build_schedule(dag)
         S0 = site_pattern.pattern_count
@@ -337,23 +338,74 @@ class GPEngine:
 
         w = self.weights
 
+        method = self.optimization_method
+
         def optimize_side(plv, bl_ext, edges, parents, children, r_plv):
-            """Batched Brent over one side's edges; padding rows optimize a
+            """Batched per-edge 1-D optimization over one side's edges,
+            dispatching on the engine's optimization method (reference
+            DAGBranchHandler::OptimizeBranchLength,
+            src/dag_branch_handler.cpp:123-285); padding rows optimize a
             flat objective and scatter into the dummy bl slot."""
             r = plv[r_plv, parents]               # [K, 4, S]
             p = plv[P, children]
 
-            def neg_ll(y):
-                t = jnp.exp(y)
+            def ll_of_t(t):
                 trans = jc69_transition(t)        # [K, 4, 4]
                 val = jnp.einsum("kas,kab,kbs->ks", r, trans, p,
                                  precision=Precision)
-                return -(jnp.log(jnp.where(val > 0, val, 1e-300)) @ w)
+                return jnp.log(jnp.where(val > 0, val, 1e-300)) @ w
 
+            def ll_y(y):
+                return ll_of_t(jnp.exp(y))
+
+            def per_lane_grad(f, x):
+                return jax.jvp(f, (x,), (jnp.ones_like(x),))[1]
+
+            guess_x = bl_ext[edges]
             lo = jnp.full(edges.shape, MIN_LOG_BL, dtype)
             hi = jnp.full(edges.shape, MAX_LOG_BL, dtype)
-            y_opt = optimize.brent_minimize_batched(neg_ll, lo, hi)
-            return bl_ext.at[edges].set(jnp.exp(y_opt))
+
+            if method in ("brent", "brent_with_gradients"):
+                y0 = jnp.log(guess_x)
+
+                def neg_ll(y):
+                    return -ll_y(y)
+
+                y_opt = optimize.brent_minimize_batched(
+                    neg_ll, y0, lo, hi, iterations=60,
+                    use_gradients=(method == "brent_with_gradients"))
+                # Reset-if-worse guard (dag_branch_handler.cpp:143-150).
+                worse = neg_ll(y_opt) > neg_ll(y0)
+                x_new = jnp.where(worse, guess_x, jnp.exp(y_opt))
+            elif method == "gradient_ascent":
+                # The reference floors x at min_log_branch_length_ itself
+                # (dag_branch_handler.cpp:225-228) — replicated as-is.
+                def ffp(x):
+                    return ll_of_t(x), per_lane_grad(ll_of_t, x)
+
+                x_new = optimize.gradient_ascent_batched(
+                    ffp, guess_x, jnp.full_like(guess_x, MIN_LOG_BL))
+            elif method == "log_space_gradient_ascent":
+                def ffp(x):
+                    return ll_of_t(x), per_lane_grad(ll_of_t, x)
+
+                x_new = optimize.log_space_gradient_ascent_batched(
+                    ffp, guess_x,
+                    jnp.full_like(guess_x, float(np.exp(MIN_LOG_BL))))
+            elif method == "newton":
+                def f3(y):
+                    f = ll_y(y)
+                    g = per_lane_grad(ll_y, y)
+                    h = per_lane_grad(lambda z: per_lane_grad(ll_y, z), y)
+                    return f, g, h
+
+                y_opt = optimize.newton_raphson_batched(
+                    f3, jnp.log(guess_x), lo, hi)
+                x_new = jnp.exp(y_opt)
+            else:
+                raise ValueError(
+                    f"Unknown optimization method: {method!r}")
+            return bl_ext.at[edges].set(x_new)
 
         def rebuild_phat(plv, ls, bl_ext, q_ext, edge, dest, src, ptype,
                          nodes):
@@ -473,6 +525,27 @@ class GPEngine:
             np.asarray(self.per_edge_ll)
             + float(self.site_pattern.weights.sum()) * np.log(np.asarray(self.q))
         )
+
+    def set_optimization_method(self, method: str):
+        """Reference GPEngine::SetOptimizationMethod
+        (src/gp_engine.cpp:656-658).  Switching methods changes the traced
+        compute path, so the wavefront programs are rebuilt (one recompile
+        per distinct method)."""
+        valid = ("brent", "brent_with_gradients", "gradient_ascent",
+                 "log_space_gradient_ascent", "newton")
+        if method not in valid:
+            raise ValueError(f"Unknown optimization method {method!r}; "
+                             f"expected one of {valid}")
+        if method != self.optimization_method:
+            self.optimization_method = method
+            self._build_programs()
+
+    def use_gradient_optimization(self, use_gradients: bool = True):
+        """Reference GPEngine::UseGradientOptimization
+        (src/gp_engine.cpp:660-664): selects Brent-with-gradient-fallback
+        vs plain Brent."""
+        self.set_optimization_method(
+            "brent_with_gradients" if use_gradients else "brent")
 
     def optimize_branch_lengths_once(self):
         old = self.branch_lengths

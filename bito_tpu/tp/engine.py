@@ -191,7 +191,12 @@ class TPEngine:
 
         lo = jnp.full(len(rows), MIN_LOG_BL)
         hi = jnp.full(len(rows), MAX_LOG_BL)
-        y_opt = optimize.brent_minimize_batched(neg_ll, lo, hi)
+        guess = jnp.log(jnp.asarray(
+            [float(self.branch_lengths[e]) for e in rows]))
+        y_opt = optimize.brent_minimize_batched(neg_ll, guess, lo, hi)
+        # Reset-if-worse guard (reference dag_branch_handler.cpp:143-150).
+        worse = np.asarray(neg_ll(y_opt) > neg_ll(guess))
+        y_opt = jnp.where(worse, guess, y_opt)
         new_bl = np.exp(np.asarray(y_opt))
         for e, v in zip(rows, new_bl):
             self.branch_lengths[e] = v

@@ -345,7 +345,13 @@ def optimize_selected_branches_impl(
 
         lo = jnp.full((B, K), MIN_LOG_BL, bl.dtype)
         hi = jnp.full((B, K), MAX_LOG_BL, bl.dtype)
-        y_opt = gp_optimize.brent_minimize_batched(neg_ll, lo, hi)
+        # Clamp: padding lanes may carry bl 0 (log -> -inf) and are masked
+        # out of the result anyway.
+        guess = jnp.clip(jnp.log(jnp.maximum(take(bl, sel_nodes), 1e-300)),
+                         MIN_LOG_BL, MAX_LOG_BL)
+        y_opt = gp_optimize.brent_minimize_batched(neg_ll, guess, lo, hi)
+        # Reset-if-worse guard (reference dag_branch_handler.cpp:143-150).
+        y_opt = jnp.where(neg_ll(y_opt) > neg_ll(guess), guess, y_opt)
         new_t = jnp.where(sel_mask, jnp.exp(y_opt), take(bl, sel_nodes))
         bl = jax.vmap(lambda b, idx, v: b.at[idx].set(v))(
             bl, sel_nodes, new_t

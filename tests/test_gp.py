@@ -298,3 +298,58 @@ class TestFluARescaling:
             sp, PhyloModel(PhyloModelSpecification()))
         ll = float(np.asarray(engine.log_likelihoods([tree], {}))[0])
         assert abs(gp_marginal - ll) < 1e-6, (gp_marginal, ll)
+
+
+class TestOptimizationMethods:
+    """The optimization-method switch must change the compute path while
+    converging to the same optima (reference Optimization suite,
+    src/optimization.hpp:13-402, wired via GPEngine::SetOptimizationMethod,
+    src/gp_engine.cpp:656-664)."""
+
+    def _optimize_with(self, data_dir, method, sweeps=40):
+        inst = make_gp("hello.fasta", "hello_rooted.nwk", data_dir)
+        inst.set_optimization_method(method)
+        assert inst.get_gp_engine().optimization_method == method
+        inst.estimate_branch_lengths(1e-6, sweeps, quiet=True)
+        inst.populate_plvs()
+        inst.compute_likelihoods()
+        return (inst.get_log_marginal_likelihood(),
+                np.asarray(inst.get_gp_engine().branch_lengths))
+
+    def test_methods_agree_on_optima(self, data_dir):
+        marg_brent, bl_brent = self._optimize_with(data_dir, "brent")
+        for method in ("brent_with_gradients", "newton"):
+            marg, bl = self._optimize_with(data_dir, method)
+            assert abs(marg - marg_brent) < 1e-4, (method, marg, marg_brent)
+            np.testing.assert_allclose(bl, bl_brent, atol=2e-3,
+                                       err_msg=method)
+
+    def test_gradient_ascent_improves(self, data_dir):
+        # The fixed-step ascent methods carry the reference's constants
+        # (step 5e-4 / log-space 1.0005, src/dag_branch_handler.hpp:291-292)
+        # and are not guaranteed to reach the Brent optimum; assert they
+        # run on their own compute path and improve the initial marginal.
+        inst = make_gp("hello.fasta", "hello_rooted.nwk", data_dir)
+        inst.populate_plvs()
+        inst.compute_likelihoods()
+        start = inst.get_log_marginal_likelihood()
+        inst.set_optimization_method("gradient_ascent")
+        inst.estimate_branch_lengths(1e-6, 5, quiet=True)
+        inst.populate_plvs()
+        inst.compute_likelihoods()
+        assert inst.get_log_marginal_likelihood() > start
+
+    def test_use_gradient_optimization_switches_path(self, data_dir):
+        inst = make_gp("hello.fasta", "hello_rooted.nwk", data_dir)
+        assert inst.get_gp_engine().optimization_method == "brent"
+        inst.use_gradient_optimization(True)
+        assert (inst.get_gp_engine().optimization_method
+                == "brent_with_gradients")
+        inst.use_gradient_optimization(False)
+        assert inst.get_gp_engine().optimization_method == "brent"
+
+    def test_set_rescaling_refuses_off(self, data_dir):
+        inst = make_gp("hello.fasta", "hello_rooted.nwk", data_dir)
+        inst.set_rescaling(True)  # always-on: accepting True is exact
+        with pytest.raises(NotImplementedError):
+            inst.set_rescaling(False)
