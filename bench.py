@@ -3,11 +3,17 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "evals/sec/chip", "vs_baseline": N}
 
+The benchmark drives only the product API: TreeLikelihoodEngine with its
+default kernel selection (Pallas on TPU/f32, scan tape elsewhere), via
+engine.branch_eval_fn — the same closure a VBPI inner loop or a
+branch-length sweep embeds.
+
 The reference (phylovi/bito) publishes no numbers and cannot be built here
 (BEAGLE is an external git fetch; this environment has no egress), so
-vs_baseline uses BITO_CPU_BASELINE_EVALS_PER_SEC — an estimate of bito's
-single-chip (CPU, FatBeagle thread pool) DS1 LL+gradient rate, overridable
-via the environment variable of the same name once a measured number exists.
+vs_baseline uses a MEASURED stand-in: scripts/cpu_baseline.py reimplements
+the reference's FatBeagle serial path (per-tree postorder + preorder, f64,
+numpy/BLAS per-pattern 4-state kernels) and its measured single-thread rate
+is recorded below; override via BITO_CPU_BASELINE_EVALS_PER_SEC.
 """
 import json
 import os
@@ -16,16 +22,18 @@ import time
 
 import numpy as np
 
-# Estimated bito CPU throughput for DS1 GTR+Gamma4 LL+gradient evals/sec
-# (27 taxa, ~1000 patterns, 4 rate categories, BEAGLE SSE + threads).
+# Measured single-thread CPU rate of the faithful reimplementation of the
+# reference's DS1 GTR+Gamma4 LL+gradient path (scripts/cpu_baseline.py; see
+# BASELINE.md "Measured CPU baseline" for methodology and the measurement).
 BITO_CPU_BASELINE_EVALS_PER_SEC = float(
-    os.environ.get("BITO_CPU_BASELINE_EVALS_PER_SEC", 200.0)
+    os.environ.get("BITO_CPU_BASELINE_EVALS_PER_SEC", "0") or "0"
 )
 
 DATA = "/root/reference/data"
 
 
 def main():
+    global BITO_CPU_BASELINE_EVALS_PER_SEC
     import jax
     import jax.numpy as jnp
 
@@ -37,12 +45,24 @@ def main():
     platform = jax.devices()[0].platform
     print(f"# devices: {jax.devices()}", file=sys.stderr)
 
+    if not BITO_CPU_BASELINE_EVALS_PER_SEC:
+        try:
+            with open(os.path.join(os.path.dirname(__file__),
+                                   "scripts", "cpu_baseline.json")) as f:
+                BITO_CPU_BASELINE_EVALS_PER_SEC = float(
+                    json.load(f)["evals_per_sec"])
+        except Exception:
+            BITO_CPU_BASELINE_EVALS_PER_SEC = 200.0  # last-resort estimate
+
     coll = parse_nexus_file(f"{DATA}/DS1.subsampled_10.t")
     seqs = read_fasta(f"{DATA}/DS1.fasta")
     sp = SitePattern(seqs, coll.taxon_names)
     spec = PhyloModelSpecification(substitution="GTR", site="gamma+4")
     model = PhyloModel(spec)
     engine = TreeLikelihoodEngine(sp, model)
+    # BENCH_KERNEL overrides the engine's auto selection ("scan"/"pallas").
+    if os.environ.get("BENCH_KERNEL"):
+        engine.kernel = os.environ["BENCH_KERNEL"]
 
     batch = int(os.environ.get("BENCH_TREE_BATCH", "200"))
     trees = [coll.trees[i % len(coll.trees)] for i in range(batch)]
@@ -54,11 +74,13 @@ def main():
         "site_model_parameters": jnp.asarray([0.5]),
     }
 
-    # Warm up (compile).
+    # Warm up (compile) on the engine's selected kernel path.
     ll, grads = engine.ll_and_branch_gradients(trees, params)
     ll.block_until_ready()
+    using_pallas = engine._use_pallas(engine._shared_model(params))
     print(f"# warmup LL[0]={float(ll[0]):.4f} patterns={sp.pattern_count} "
-          f"pad={engine.pattern_pad} dtype={ll.dtype}", file=sys.stderr)
+          f"pad={engine.pattern_pad} dtype={ll.dtype} "
+          f"kernel={'pallas' if using_pallas else 'scan'}", file=sys.stderr)
 
     # Timed iterations run as one on-device scan over branch-length
     # variants: a production sweep (VBPI inner loop, branch optimization)
@@ -67,64 +89,19 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "40"))
     enc = engine.encode(trees)
     base_bl = engine.branch_length_matrix(trees, enc)
-    eig, rates, props, clock = engine._model_ingredients(params, batch)
-    from bito_tpu.treelike import pallas_pruning
-    from bito_tpu.treelike import pruning as pruning_mod
+    eval_fn = engine.branch_eval_fn(trees, params)
 
-    post_ops = jnp.asarray(enc.post_ops)
-    pre_ops = jnp.asarray(enc.pre_ops)
-    root = jnp.asarray(enc.root)
-    edge_mask = jnp.asarray(enc.edge_mask, dtype=base_bl.dtype)
-    # The VMEM-resident Pallas kernel is ~1.6x the scan tape on TPU v5e
-    # (scripts/bench_kernel_race.py); the scan tape is the portable path.
-    kernel = os.environ.get(
-        "BENCH_KERNEL", "pallas" if platform != "cpu" else "scan"
-    )
-    print(f"# kernel: {kernel}", file=sys.stderr)
+    @jax.jit
+    def sweep(bl):
+        def body(carry, k):
+            ll, grads = eval_fn(bl * (1.0 + 0.001 * k))
+            return carry + ll.sum(), grads.sum()
 
-    if kernel == "pallas":
-        tips32 = jnp.asarray(sp.tip_partials(), jnp.float32)
-        edge_mask32 = jnp.asarray(enc.edge_mask, jnp.float32)
-        # One whole-pad tile per tree wins on v5e: 31.8k vs 20.2k evals/s
-        # against s_tile=512 (fewer grid cells, same VMEM fit).
-        s_tile = int(os.environ.get("BENCH_S_TILE", str(engine.pattern_pad)))
-
-        @jax.jit
-        def sweep(bl):
-            def body(carry, k):
-                (P_blk, dP_blk, tips_flat, pivec, propvec, w) = (
-                    pallas_pruning.prepare_inputs_grad(
-                        enc, tips32, sp.weights, eig, rates, props, clock,
-                        bl * (1.0 + 0.001 * k), engine.pattern_pad))
-                ll, grads = pallas_pruning.pallas_ll_and_gradients(
-                    post_ops, pre_ops, root, edge_mask32,
-                    P_blk, dP_blk, tips_flat, pivec, propvec, w,
-                    num_slots=enc.num_slots,
-                    category_count=model.category_count, s_tile=s_tile)
-                return carry + ll.sum(), grads.sum()
-            total, _ = jax.lax.scan(
-                body, jnp.zeros((), jnp.float32),
-                jnp.arange(iters, dtype=jnp.float32),
-            )
-            return total
-    else:
-        @jax.jit
-        def sweep(bl):
-            def body(carry, k):
-                ll, grads = pruning_mod.ll_and_branch_gradients_impl(
-                    post_ops, pre_ops, root, edge_mask,
-                    engine.tip_partials, engine.weights,
-                    bl * (1.0 + 0.001 * k),
-                    eig, rates, props, clock,
-                    num_slots=enc.num_slots, pattern_pad=engine.pattern_pad,
-                    category_count=model.category_count,
-                )
-                return carry + ll.sum(), grads.sum()
-            total, _ = jax.lax.scan(
-                body, jnp.zeros((), base_bl.dtype),
-                jnp.arange(iters, dtype=base_bl.dtype),
-            )
-            return total
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((), base_bl.dtype),
+            jnp.arange(iters, dtype=base_bl.dtype),
+        )
+        return total
 
     sweep(base_bl).block_until_ready()  # compile
     # Time each dispatch separately and score the fastest: the TPU rides a
@@ -158,16 +135,11 @@ def main():
     # On-device kernel-vs-kernel parity: the Pallas dots once silently ran
     # single-pass bf16 (0.6% LL error) — a failure mode interpret-mode CPU
     # tests cannot see, so guard it on every bench run.
-    if kernel == "pallas" and os.environ.get("BENCH_PARITY", "1") == "1":
+    if using_pallas and os.environ.get("BENCH_PARITY", "1") == "1":
         try:
+            ll_pl, g_pl = engine.ll_and_branch_gradients(trees, params)
+            engine.kernel = "scan"
             ll_scan, g_scan = engine.ll_and_branch_gradients(trees, params)
-            pk = pallas_pruning.prepare_inputs_grad(
-                enc, tips32, sp.weights, eig, rates, props, clock, base_bl,
-                engine.pattern_pad)
-            ll_pl, g_pl = pallas_pruning.pallas_ll_and_gradients(
-                post_ops, pre_ops, root, edge_mask32, *pk,
-                num_slots=enc.num_slots,
-                category_count=model.category_count, s_tile=s_tile)
             rel_ll = float(jnp.max(jnp.abs((ll_pl - ll_scan) / ll_scan)))
             rel_g = float(jnp.max(jnp.abs(g_pl - g_scan))
                           / jnp.max(jnp.abs(g_scan)))

@@ -62,6 +62,83 @@ class TreeLikelihoodEngine:
         # scan's in-place single-row dynamic-update-slices.  The levelized
         # kernels remain available for cross-checks and future tuning.
         self.use_leveled = False
+        # Kernel selection for the hot path (the reference's product hot
+        # path IS its engine, src/fat_beagle.cpp:49-169, so the fastest
+        # kernel must be what the API serves):
+        #   "auto"   — VMEM-resident Pallas kernel on TPU in f32 with a
+        #              shared (non-per-tree) model; scan tape otherwise.
+        #   "scan"   — always the scan tape.
+        #   "pallas" — force the Pallas kernel (f32 accuracy ~3e-6 rel).
+        # The pattern axis must be unsharded for the Pallas path;
+        # shard_patterns() drops to the scan tape.
+        self.kernel = "auto"
+        self._pattern_sharding = None
+
+    # -- kernel selection --------------------------------------------------
+    def _use_pallas(self, shared_model: bool) -> bool:
+        if self.kernel == "scan" or self.use_leveled:
+            return False
+        if self._pattern_sharding is not None:
+            return False
+        if self.kernel in ("pallas", "pallas_interpret"):
+            return True
+        return (
+            self.kernel == "auto"
+            and jax.default_backend() == "tpu"
+            and self.dtype == jnp.float32
+            and shared_model
+        )
+
+    def _shared_model(self, params: Dict[str, jnp.ndarray]) -> bool:
+        """The Pallas kernel folds one model's pi/proportions for the whole
+        batch; per-tree model parameter rows need the scan tape."""
+        return all(jnp.asarray(params[k]).ndim == 1
+                   for k in self.model.blocks)
+
+    def _pallas_tips(self) -> jnp.ndarray:
+        if not hasattr(self, "_pallas_tips_cache"):
+            self._pallas_tips_cache = jnp.asarray(
+                self.site_pattern.tip_partials(), jnp.float32)
+        return self._pallas_tips_cache
+
+    def _pallas_s_tile(self) -> int:
+        # One whole-pad tile per tree wins on v5e when it fits VMEM
+        # (bench: 31.8k vs 20.2k evals/s against s_tile=512).
+        if self.pattern_pad <= 2048:
+            return self.pattern_pad
+        for tile in (2048, 1024, 512, 256, 128):
+            if self.pattern_pad % tile == 0:
+                return tile
+        return self.pattern_pad
+
+    def shard_patterns(self, mesh, axis: str = "sites"):
+        """Shard the site-pattern axis across a device mesh (SURVEY P5/P6:
+        patterns are the single distributed axis; tree encodings, branch
+        lengths, and model parameters stay replicated).  The engine's tips
+        are already padded to a lane multiple with weight-zero columns, so
+        re-placing tips [T, S, A] and weights [S] with NamedShardings is
+        enough: XLA propagates the sharding through the pruning scans and
+        inserts psums for the per-tree reductions.  The Pallas kernel path
+        requires an unsharded pattern axis and is disabled."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = mesh.shape[axis]
+        if self.pattern_pad % n_dev:
+            extra = (-self.pattern_pad) % n_dev
+            tips = np.ones(
+                (self.tip_partials.shape[0], self.pattern_pad + extra, 4))
+            tips[:, : self.pattern_pad] = np.asarray(self.tip_partials)
+            w = np.zeros(self.pattern_pad + extra)
+            w[: self.pattern_pad] = np.asarray(self.weights)
+            self.pattern_pad += extra
+            self.tip_partials = jnp.asarray(tips, dtype=self.dtype)
+            self.weights = jnp.asarray(w, dtype=self.dtype)
+        self.tip_partials = jax.device_put(
+            self.tip_partials,
+            NamedSharding(mesh, PartitionSpec(None, axis, None)))
+        self.weights = jax.device_put(
+            self.weights, NamedSharding(mesh, PartitionSpec(axis)))
+        self._pattern_sharding = (mesh, axis)
 
     # -- encoding cache -------------------------------------------------
     def encode(self, trees: Sequence[Tree]) -> TreeBatchEncoding:
@@ -140,6 +217,19 @@ class TreeLikelihoodEngine:
         bl = (branch_lengths if branch_lengths is not None
               else self.branch_length_matrix(trees, enc))
         eig, rates, props, clock = self._model_ingredients(params, len(trees))
+        if self._use_pallas(self._shared_model(params)):
+            from . import pallas_pruning
+
+            kargs = pallas_pruning.prepare_inputs(
+                enc, self._pallas_tips(), self.site_pattern.weights,
+                eig, rates, props, clock, bl, self.pattern_pad)
+            ll = pallas_pruning.pallas_log_likelihoods(
+                jnp.asarray(enc.post_ops), jnp.asarray(enc.root), *kargs,
+                num_slots=enc.num_slots,
+                category_count=self.model.category_count,
+                s_tile=self._pallas_s_tile(),
+                interpret=(self.kernel == "pallas_interpret"))
+            return ll.astype(self.dtype)
         if self.use_leveled:
             lev = self.encode_leveled(trees)
             return pruning.log_likelihoods_leveled_impl(
@@ -165,6 +255,21 @@ class TreeLikelihoodEngine:
         bl = (branch_lengths if branch_lengths is not None
               else self.branch_length_matrix(trees, enc))
         eig, rates, props, clock = self._model_ingredients(params, len(trees))
+        if self._use_pallas(self._shared_model(params)):
+            from . import pallas_pruning
+
+            kargs = pallas_pruning.prepare_inputs_grad(
+                enc, self._pallas_tips(), self.site_pattern.weights,
+                eig, rates, props, clock, bl, self.pattern_pad)
+            ll, grads = pallas_pruning.pallas_ll_and_gradients(
+                jnp.asarray(enc.post_ops), jnp.asarray(enc.pre_ops),
+                jnp.asarray(enc.root),
+                jnp.asarray(enc.edge_mask, jnp.float32), *kargs,
+                num_slots=enc.num_slots,
+                category_count=self.model.category_count,
+                s_tile=self._pallas_s_tile(),
+                interpret=(self.kernel == "pallas_interpret"))
+            return ll.astype(self.dtype), grads.astype(self.dtype)
         if self.use_leveled:
             lev = self.encode_leveled(trees)
             return pruning.ll_and_branch_gradients_leveled_impl(
@@ -184,6 +289,56 @@ class TreeLikelihoodEngine:
             num_slots=enc.num_slots, pattern_pad=self.pattern_pad,
             category_count=self.model.category_count,
         )
+
+    def branch_eval_fn(self, trees: Sequence[Tree],
+                       params: Dict[str, jnp.ndarray]):
+        """Return a traceable closure bl[B, N] -> (ll[B], grads[B, N]) bound
+        to this tree batch, model parameters, and the engine's current
+        kernel path — for embedding many evaluations in one jitted sweep
+        (a VBPI inner loop or branch-length scan) without per-call host
+        work.  This is the engine's hot path; bench.py drives it."""
+        enc = self.encode(trees)
+        eig, rates, props, clock = self._model_ingredients(params, len(trees))
+        if self._use_pallas(self._shared_model(params)):
+            from . import pallas_pruning
+
+            post_ops = jnp.asarray(enc.post_ops)
+            pre_ops = jnp.asarray(enc.pre_ops)
+            root = jnp.asarray(enc.root)
+            edge_mask = jnp.asarray(enc.edge_mask, jnp.float32)
+            tips = self._pallas_tips()
+            weights = self.site_pattern.weights
+            interpret = self.kernel == "pallas_interpret"
+            s_tile = self._pallas_s_tile()
+
+            def fn(bl):
+                kargs = pallas_pruning.prepare_inputs_grad(
+                    enc, tips, weights, eig, rates, props, clock, bl,
+                    self.pattern_pad)
+                ll, grads = pallas_pruning.pallas_ll_and_gradients(
+                    post_ops, pre_ops, root, edge_mask, *kargs,
+                    num_slots=enc.num_slots,
+                    category_count=self.model.category_count,
+                    s_tile=s_tile, interpret=interpret)
+                return ll.astype(self.dtype), grads.astype(self.dtype)
+
+            return fn
+
+        post_ops = jnp.asarray(enc.post_ops)
+        pre_ops = jnp.asarray(enc.pre_ops)
+        root = jnp.asarray(enc.root)
+        edge_mask = jnp.asarray(enc.edge_mask, dtype=self.dtype)
+
+        def fn(bl):
+            return pruning.ll_and_branch_gradients_impl(
+                post_ops, pre_ops, root, edge_mask,
+                self.tip_partials, self.weights, bl,
+                eig, rates, props, clock,
+                num_slots=enc.num_slots, pattern_pad=self.pattern_pad,
+                category_count=self.model.category_count,
+            )
+
+        return fn
 
     def optimize_selected_branches(
         self, trees: Sequence[Tree], params: Dict[str, jnp.ndarray],

@@ -71,11 +71,7 @@ trees = coll.trees
 ll_single = np.asarray(engine.log_likelihoods(trees, {}))
 
 mesh = make_mesh(8)
-# Shard the pattern axis of tips [T, S, A] (axis 1) and weights [S].
-engine.tip_partials = jax.device_put(
-    engine.tip_partials, NamedSharding(mesh, PartitionSpec(None, "sites", None)))
-engine.weights = jax.device_put(
-    engine.weights, NamedSharding(mesh, PartitionSpec("sites")))
+engine.shard_patterns(mesh)
 ll_sharded = np.asarray(engine.log_likelihoods(trees, {}))
 np.testing.assert_allclose(ll_sharded, ll_single, rtol=0, atol=1e-9)
 print("SHARDED-PARITY-OK", ll_sharded[:2])
@@ -106,10 +102,7 @@ trees = coll.trees
 ll1, g1 = engine.ll_and_branch_gradients(trees, params)
 ll1, g1 = np.asarray(ll1), np.asarray(g1)
 mesh = make_mesh(8)
-engine.tip_partials = jax.device_put(
-    engine.tip_partials, NamedSharding(mesh, PartitionSpec(None, "sites", None)))
-engine.weights = jax.device_put(
-    engine.weights, NamedSharding(mesh, PartitionSpec("sites")))
+engine.shard_patterns(mesh)
 ll8, g8 = engine.ll_and_branch_gradients(trees, params)
 np.testing.assert_allclose(np.asarray(ll8), ll1, atol=1e-9)
 np.testing.assert_allclose(np.asarray(g8), g1, atol=1e-8)
