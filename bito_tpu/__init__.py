@@ -11,6 +11,28 @@ pjit site-pattern sharding) instead of BEAGLE/Eigen.
 import os as _os
 
 
+def _maybe_init_distributed():
+    """Join a multi-process job before anything can initialize the XLA
+    backend (jax.distributed.initialize must run first).  Activated by the
+    BITO_COORDINATOR env var, which bito_tpu.dist.launch sets; explicit
+    callers can instead run bito_tpu.dist.multihost.initialize(...) before
+    importing the package."""
+    if not _os.environ.get("BITO_COORDINATOR"):
+        return
+    import jax
+
+    if _os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    jax.distributed.initialize(
+        coordinator_address=_os.environ["BITO_COORDINATOR"],
+        num_processes=int(_os.environ["BITO_NUM_PROCESSES"]),
+        process_id=int(_os.environ["BITO_PROCESS_ID"]),
+    )
+
+
+_maybe_init_distributed()
+
+
 def _default_compilation_cache():
     """Persistent XLA compilation cache, on by default (the NNI search and
     GP workflows recompile per DAG-growth epoch; a warm cache turns

@@ -213,12 +213,12 @@ class GPEngine:
             ls = ls.at[RHAT, rootsplit_nodes].set(0.0)
             return plv, ls
 
-        def populate(bl, q):
+        def populate(bl, q, tips):
             bl_ext, q_ext = ext(bl, q)
             trans = jc69_transition(bl_ext)       # [E+1, 4, 4]
             plv = jnp.zeros((6, Np1, 4, S), dtype)
             ls = jnp.zeros((6, Np1, S), dtype)
-            plv = plv.at[P, :n_taxa].set(self.tips)
+            plv = plv.at[P, :n_taxa].set(tips)
 
             # Rootward: phat accumulation + P multiply per level.
             def root_body(carry, lvl):
@@ -259,9 +259,10 @@ class GPEngine:
         like_child = jnp.asarray(sch.like_child)
         like_mask = jnp.asarray(sch.like_mask)
 
-        def likelihoods(plv, ls, bl, q):
-            """Per-edge log likelihoods + per-site log marginal (reference
-            GPDAG::ComputeLikelihoods + IncrementMarginalLikelihood)."""
+        def likelihoods(plv, ls, bl, q, weights):
+            """Per-edge log likelihoods + per-site log marginal + total
+            marginal (reference GPDAG::ComputeLikelihoods +
+            IncrementMarginalLikelihood)."""
             trans = jc69_transition(bl)
             r = plv[like_r_plv, like_parent]      # [E, 4, S]
             lsr = ls[like_r_plv, like_parent]
@@ -270,7 +271,7 @@ class GPEngine:
             val = jnp.einsum("eas,eab,ebs->es", r, trans, p,
                              precision=Precision)
             rows = jnp.log(jnp.where(val > 0, val, 1e-300)) + lsr + lsp
-            per_edge = rows @ self.weights
+            per_edge = rows @ weights
             # Rootsplit edges: no transition matrix; RHat = q*pi at the same
             # node; conditional rows subtract log q.
             r0 = plv[RHAT, rootsplit_nodes]
@@ -280,12 +281,12 @@ class GPEngine:
             rows0 = jnp.log(jnp.where(val0 > 0, val0, 1e-300)) + lsp0
             log_marginal_site = jax.scipy.special.logsumexp(rows0, axis=0)
             per_edge_root = (
-                rows0 @ self.weights
-                - jnp.log(q[rootsplit_edges]) * jnp.sum(self.weights)
+                rows0 @ weights
+                - jnp.log(q[rootsplit_edges]) * jnp.sum(weights)
             )
             per_edge = jnp.where(like_mask, per_edge, 0.0)
             per_edge = per_edge.at[rootsplit_edges].set(per_edge_root)
-            return per_edge, log_marginal_site
+            return per_edge, log_marginal_site, log_marginal_site @ weights
 
         # -- optimization sweep (tidy traversal levelized, scanned) -------
         # Per leafward level, static index groups: the optimizable edges of
@@ -336,11 +337,9 @@ class GPEngine:
         for k, cols in opt_cols.items():
             sweep[k] = jnp.asarray(_pad_stack(cols, pad_of[k.split("_")[-1]]))
 
-        w = self.weights
-
         method = self.optimization_method
 
-        def optimize_side(plv, bl_ext, edges, parents, children, r_plv):
+        def optimize_side(plv, bl_ext, edges, parents, children, r_plv, w):
             """Batched per-edge 1-D optimization over one side's edges,
             dispatching on the engine's optimization method (reference
             DAGBranchHandler::OptimizeBranchLength,
@@ -416,7 +415,7 @@ class GPEngine:
                                      jnp.full_like(edge, ptype))
             return write_levels(plv, ls, acc, acc_ls, (ptype,), nodes)
 
-        def optimization_sweep(plv, ls, bl, q):
+        def optimization_sweep(plv, ls, bl, q, weights):
             bl_ext, q_ext = ext(bl, q)
             plv, ls = seed_rhat(plv, ls, q)
 
@@ -434,7 +433,7 @@ class GPEngine:
                                            lvl["nodes"])
                 bl_ext = optimize_side(plv, bl_ext, lvl["r_edge"],
                                        lvl["r_parent"], lvl["r_child"],
-                                       RRIGHT)
+                                       RRIGHT, weights)
                 plv, ls = rebuild_phat(plv, ls, bl_ext, q_ext,
                                        lvl["reb_r_edge"], lvl["reb_r_dest"],
                                        lvl["reb_r_src"], PHAT_RIGHT,
@@ -444,7 +443,7 @@ class GPEngine:
                                            lvl["nodes"])
                 bl_ext = optimize_side(plv, bl_ext, lvl["l_edge"],
                                        lvl["l_parent"], lvl["l_child"],
-                                       RLEFT)
+                                       RLEFT, weights)
                 plv, ls = rebuild_phat(plv, ls, bl_ext, q_ext,
                                        lvl["reb_l_edge"], lvl["reb_l_dest"],
                                        lvl["reb_l_src"], PHAT_LEFT,
@@ -472,8 +471,9 @@ class GPEngine:
         tip/weight tensors are re-placed with NamedShardings, and the
         wavefront programs are rebuilt so XLA propagates the sharding
         through every PLV and inserts psums for the per-edge reductions."""
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec
+        from jax.sharding import PartitionSpec
+
+        from ..dist import multihost
 
         n_dev = mesh.shape[axis]
         pad = (-self.S) % n_dev
@@ -487,14 +487,13 @@ class GPEngine:
             weights = np.concatenate(
                 [weights, np.zeros(pad, weights.dtype)])
             self.S = tips.shape[-1]
-        self.tips = jax.device_put(
-            jnp.asarray(tips, dtype=self.dtype),
-            NamedSharding(mesh, PartitionSpec(None, None, axis)),
-        )
-        self.weights = jax.device_put(
-            jnp.asarray(weights, dtype=self.dtype),
-            NamedSharding(mesh, PartitionSpec(axis)),
-        )
+        # multihost.place works for single- and multi-process meshes alike.
+        self.tips = multihost.place(
+            jnp.asarray(tips, dtype=self.dtype), mesh,
+            PartitionSpec(None, None, axis))
+        self.weights = multihost.place(
+            jnp.asarray(weights, dtype=self.dtype), mesh,
+            PartitionSpec(axis))
         # Stale per-pattern state; programs close over tips/weights/S.
         self.plv = None
         self.ls = None
@@ -503,18 +502,20 @@ class GPEngine:
         self._build_programs()
 
     def populate_plvs(self):
-        self.plv, self.ls = self._populate(self.branch_lengths, self.q)
+        self.plv, self.ls = self._populate(self.branch_lengths, self.q,
+                                           self.tips)
 
     def compute_likelihoods(self):
         assert self.plv is not None, "Call populate_plvs first"
-        self.per_edge_ll, self.log_marginal_site = self._likelihoods(
-            self.plv, self.ls, self.branch_lengths, self.q
+        (self.per_edge_ll, self.log_marginal_site,
+         self._log_marginal) = self._likelihoods(
+            self.plv, self.ls, self.branch_lengths, self.q, self.weights
         )
 
     def log_marginal_likelihood(self) -> float:
         """Reference GPEngine::GetLogMarginalLikelihood: per-site log
         marginal dotted with site weights."""
-        return float(self.log_marginal_site @ self.weights)
+        return float(self._log_marginal)
 
     def per_gpcsp_log_likelihoods(self) -> np.ndarray:
         return np.asarray(self.per_edge_ll)
@@ -550,7 +551,7 @@ class GPEngine:
     def optimize_branch_lengths_once(self):
         old = self.branch_lengths
         self.plv, self.ls, self.branch_lengths = self._optimization_sweep(
-            self.plv, self.ls, self.branch_lengths, self.q
+            self.plv, self.ls, self.branch_lengths, self.q, self.weights
         )
         self.branch_length_differences = jnp.abs(self.branch_lengths - old)
 

@@ -120,7 +120,9 @@ class TreeLikelihoodEngine:
         enough: XLA propagates the sharding through the pruning scans and
         inserts psums for the per-tree reductions.  The Pallas kernel path
         requires an unsharded pattern axis and is disabled."""
-        from jax.sharding import NamedSharding, PartitionSpec
+        from jax.sharding import PartitionSpec
+
+        from ..dist import multihost
 
         n_dev = mesh.shape[axis]
         if self.pattern_pad % n_dev:
@@ -133,11 +135,11 @@ class TreeLikelihoodEngine:
             self.pattern_pad += extra
             self.tip_partials = jnp.asarray(tips, dtype=self.dtype)
             self.weights = jnp.asarray(w, dtype=self.dtype)
-        self.tip_partials = jax.device_put(
-            self.tip_partials,
-            NamedSharding(mesh, PartitionSpec(None, axis, None)))
-        self.weights = jax.device_put(
-            self.weights, NamedSharding(mesh, PartitionSpec(axis)))
+        # multihost.place works for single- and multi-process meshes alike.
+        self.tip_partials = multihost.place(
+            self.tip_partials, mesh, PartitionSpec(None, axis, None))
+        self.weights = multihost.place(
+            self.weights, mesh, PartitionSpec(axis))
         self._pattern_sharding = (mesh, axis)
 
     # -- encoding cache -------------------------------------------------

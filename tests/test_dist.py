@@ -142,3 +142,17 @@ np.testing.assert_allclose(bl8, bl1, atol=1e-9)
 print("GP-SHARDED-OK", m8)
 """)
         assert "GP-SHARDED-OK" in out
+
+    def test_two_process_multihost_parity(self):
+        """SURVEY §5.8/P6: a 2-process CPU-emulated multi-host job (2
+        virtual devices per process, Gloo collectives) must reproduce the
+        single-process LL + gradients + GP marginal."""
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        out = subprocess.run(
+            [sys.executable, "-m", "bito_tpu.dist.launch", "-n", "2",
+             "--devices-per-process", "2", "tests/multihost_worker.py"],
+            env=env, capture_output=True, text=True, timeout=600, cwd=REPO,
+        )
+        assert out.returncode == 0, f"{out.stdout}\n{out.stderr}"
+        assert out.stdout.count("MULTIHOST-PARITY-OK") == 2, out.stdout
