@@ -1,0 +1,280 @@
+"""Trajectory-faithful TP-likelihood NNI search (the DS1 golden run).
+
+Replays the reference's NNIEngine::Run with the TP-likelihood cutoff +
+top-1 filtering schemes exactly as the golden-run harness configures them
+(reference: test/nni_search.py init_engine_for_tp_search + Program.nni_search,
+src/nni_engine.cpp:197-330, 721-1020), on top of the faithful per-edge-PV
+eval engine (`bito_tpu.tp.eval_engine`).  The regression oracle is
+data/ds1/test/run.811b735.csv: the accepted-NNI central-edge PCSP sequence
+(and per-acceptance scores) of 200 iterations of search seeded with the
+MrBayes top-1 tree.
+
+Bookkeeping matches the reference defaults (src/nni_engine.hpp:564-576):
+only NEW adjacent NNIs are rescored each iteration (scores persist with
+whatever PV staleness they were computed under); ALL adjacent scored NNIs
+compete in the top-1 evaluation; accepted NNIs are added via
+SubsplitDAG::AddNodePair and the engine is updated incrementally.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..core.bitset import Subsplit, clade_cmp_key, popcount
+from ..core.newick import parse_newick_file, read_fasta
+from ..core.site_pattern import SitePattern
+from ..core.tree import Tree
+from ..dag.subsplit_dag import LEFT, RIGHT, SubsplitDAG, build_dag
+from ..tp.eval_engine import (FaithfulTPEvalEngine, NO_EDGE, NO_TREE,
+                              neighbor_nni)
+
+NNI = Tuple[Subsplit, Subsplit]
+
+
+def nni_sort_key(nni: NNI):
+    """std::set<NNIOperation> order (reference NNIOperation::Compare →
+    Bitset::SubsplitCompare: taxon count, union, then full bitset)."""
+    def subsplit_key(ss: Subsplit):
+        return (popcount(ss.union),
+                clade_cmp_key(ss.union, ss.n),
+                clade_cmp_key(ss.clade0, ss.n) + clade_cmp_key(ss.clade1,
+                                                               ss.n))
+
+    return subsplit_key(nni[0]) + subsplit_key(nni[1])
+
+
+@dataclass
+class AcceptRecord:
+    iteration: int
+    pcsp: str                 # central-edge PCSP bitstring (golden field 2)
+    score: float              # accepted NNI's score (golden field 3)
+    parent: str
+    child: str
+
+
+class GoldenNNISearch:
+    """The reference NNIEngine loop with TP-likelihood scoring, faithful
+    to the DS1 golden-run configuration."""
+
+    def __init__(self, dag: SubsplitDAG, site_pattern: SitePattern,
+                 trees: Sequence[Tree], opt_max: int = 5,
+                 include_rootsplits: bool = False):
+        self.dag = dag
+        self.engine = FaithfulTPEvalEngine(dag, site_pattern)
+        self.engine.optimize_max_iter = opt_max
+        self.include_rootsplits = include_rootsplits
+        # Harness init (test/nni_search.py:624-651):
+        self.engine.set_branch_lengths_by_taking_first(trees)
+        self.engine.set_tree_source_by_taking_first(trees)
+        # NNI sets; keys are (parent, child) Subsplit tuples.
+        self.adjacent: Set[NNI] = set()
+        self.new_adjacent: Set[NNI] = set()
+        self.scored: Dict[NNI, float] = {}
+        self.new_scored: Dict[NNI, float] = {}
+        self.accepted: List[NNI] = []
+        self.past_accepted: Set[NNI] = set()
+        self.records: List[AcceptRecord] = []
+        self._last_mods = None
+
+    # -- RunInit (reference nni_engine.cpp:217-228) ------------------------
+    def run_init(self):
+        self.sync_adjacent_nnis_with_dag()
+        # FilterInit → PrepEvalEngine → TP Prep: InitializeChoiceMap +
+        # InitializeScores (nni_evaluation_engine.cpp:1039-1043).
+        self.engine.initialize_choice_map()
+        self.engine.initialize()
+
+    def _safe_add(self, parent: Subsplit, child: Subsplit):
+        """Reference SafeAddOutputNNIsToAdjacentNNIs
+        (nni_engine.cpp:846-877)."""
+        if parent.is_uca() or child.is_leaf():
+            return
+        for swap_clade0 in (True, False):
+            p2, c2 = neighbor_nni(parent, child, swap_clade0)
+            if self.dag.contains_edge(p2, c2):
+                continue
+            nni = (p2, c2)
+            if nni not in self.adjacent:
+                self.adjacent.add(nni)
+                self.new_adjacent.add(nni)
+
+    def sync_adjacent_nnis_with_dag(self):
+        """Reference SyncAdjacentNNIsWithDAG (nni_engine.cpp:766-792)."""
+        self.adjacent.clear()
+        self.new_adjacent.clear()
+        dag = self.dag
+        uca = Subsplit.uca(dag.taxon_count)
+        for e in range(dag.edge_count()):
+            pid = int(dag.edge_parent[e])
+            cid = int(dag.edge_child[e])
+            parent = uca if pid == dag.root_id else dag.nodes[pid]
+            child = dag.nodes[cid]
+            if parent.is_uca() or child.is_leaf():
+                continue
+            if self.include_rootsplits or not parent.is_rootsplit():
+                self._safe_add(parent, child)
+
+    # -- RunMainLoop (reference nni_engine.cpp:230-257) ---------------------
+    def run_main_loop(self):
+        # FilterPreScore → ScoreAdjacentNNIs over NNIs-to-rescore (the new
+        # adjacent set; rescore_rejected_nnis_ defaults false).
+        to_rescore = sorted(self.new_adjacent, key=nni_sort_key)
+        self.new_scored = {}
+        if to_rescore:
+            best_edge_map = (self.engine.build_best_edge_map(to_rescore)
+                             if self.engine.use_best_edge_map else None)
+            for nni in to_rescore:
+                score = self.engine.score_proposed_nni(nni, best_edge_map)
+                old = self.scored.pop(nni, None)
+                self.scored[nni] = score
+                self.new_scored[nni] = score
+        # FilterPostScore (top-1) + FilterEvaluate (min-score cutoff over
+        # ALL scored NNIs; reevaluate_rejected_nnis_ defaults true).
+        self.accepted = []
+        if self.scored:
+            cutoff = max(self.scored.values())
+            self.accepted = [nni for nni, s in self.scored.items()
+                             if s >= cutoff]
+        # (4) Add accepted NNIs to the DAG + engine update.
+        if self.accepted:
+            self._add_accepted_nnis_to_dag()
+        return bool(self.accepted)
+
+    def _find_nni_to_pre_nni(self) -> List[Tuple[NNI, NNI]]:
+        """Reference AddAcceptedNNIsToDAG prep (nni_engine.cpp:721-745):
+        pre-NNI = the in-DAG neighbor not in the adjacent set; when both
+        clade swaps qualify the LAST (clade1 swap) wins."""
+        out = []
+        for nni in sorted(self.accepted, key=nni_sort_key):
+            pre = None
+            for cand in self.engine.find_all_nni_neighbors_in_dag(*nni):
+                if cand is not None and cand not in self.adjacent:
+                    pre = cand
+            assert pre is not None, "NNI not found to be adjacent to DAG"
+            out.append((nni, pre))
+        return out
+
+    def _add_accepted_nnis_to_dag(self):
+        nni_to_pre_nni = self._find_nni_to_pre_nni()
+        prev_edge_count = self.dag.edge_count()
+        mods = None
+        for nni, _ in nni_to_pre_nni:
+            m = self.dag.add_node_pair(nni[0], nni[1])
+            mods = m if mods is None else _compose_mods(mods, m)
+        self._last_mods = mods
+        # FilterPostModification → GrowEvalEngineForDAG +
+        # UpdateEvalEngineAfterModifyingDAG (nni_engine.cpp:459-468).
+        self.engine.grow_and_reindex(mods)
+        self.engine.update_after_modifying_dag(nni_to_pre_nni,
+                                               prev_edge_count, mods)
+
+    # -- RunPostLoop (reference nni_engine.cpp:259-277, 897-1020) ----------
+    def run_post_loop(self):
+        dag = self.dag
+        self.new_adjacent.clear()
+        for nni in self.accepted:
+            self.adjacent.discard(nni)
+            self.scored.pop(nni, None)
+        for e in self._last_mods.added_edge_ids:
+            pid = int(dag.edge_parent[e])
+            parent = (Subsplit.uca(dag.taxon_count)
+                      if pid == dag.root_id else dag.nodes[pid])
+            nni = (parent, dag.nodes[int(dag.edge_child[e])])
+            self.adjacent.discard(nni)
+            self.scored.pop(nni, None)
+        for nni in self.accepted:
+            e = dag.get_edge_id(nni[0], nni[1])
+            for node in (int(dag.edge_parent[e]), int(dag.edge_child[e])):
+                for adj in (dag.rootward, dag.leafward):
+                    for side in (LEFT, RIGHT):
+                        for other, adj_e in adj[node][side]:
+                            pid = int(dag.edge_parent[adj_e])
+                            parent = (Subsplit.uca(dag.taxon_count)
+                                      if pid == dag.root_id
+                                      else dag.nodes[pid])
+                            child = dag.nodes[int(dag.edge_child[adj_e])]
+                            self._safe_add(parent, child)
+        self.past_accepted.update(self.accepted)
+        self.accepted = []
+
+    # -- full run -----------------------------------------------------------
+    def run(self, iter_max: int = 200, verbose: bool = False,
+            on_iteration=None) -> List[AcceptRecord]:
+        """The harness main loop (test/nni_search.py:1158-1295): score,
+        accept top-1, record, stop when nothing is accepted."""
+        from ..core.bitset import PCSP
+
+        self.run_init()
+        iter_count = 1
+        while iter_count <= iter_max:
+            any_accepted = self.run_main_loop()
+            for nni in sorted(self.accepted, key=nni_sort_key):
+                e = self.dag.get_edge_id(nni[0], nni[1])
+                pcsp = PCSP.of_parent_child(nni[0], nni[1])
+                self.records.append(AcceptRecord(
+                    iteration=iter_count,
+                    pcsp=pcsp.to_string(),
+                    score=self.scored[nni],
+                    parent=nni[0].to_string(),
+                    child=nni[1].to_string(),
+                ))
+            if verbose and self.records:
+                r = self.records[-1]
+                print(f"iter {iter_count}: accepted {len(self.accepted)} "
+                      f"score {r.score:.6f} pcsp {r.pcsp}")
+            if on_iteration is not None:
+                on_iteration(self, iter_count)
+            if not any_accepted:
+                break
+            self.run_post_loop()
+            iter_count += 1
+        return self.records
+
+
+def _compose_mods(first, second):
+    """Compose two ModificationResults (reference
+    ModificationResult::ComposeWith): reindexers chain, added ids remap."""
+    from ..dag.subsplit_dag import ModificationResult
+
+    node_reindexer = second.node_reindexer[first.node_reindexer]
+    edge_reindexer = second.edge_reindexer[first.edge_reindexer]
+    added_nodes = ([int(second.node_reindexer[i])
+                    for i in first.added_node_ids]
+                   + list(second.added_node_ids))
+    added_edges = ([int(second.edge_reindexer[i])
+                    for i in first.added_edge_ids]
+                   + list(second.added_edge_ids))
+    return ModificationResult(added_nodes, added_edges, node_reindexer,
+                              edge_reindexer)
+
+
+def load_golden_run(path: str) -> List[Tuple[str, Optional[float]]]:
+    """Parse run.811b735.csv: lines of `hash pcsp_bits [score]`
+    (reference Loader.load_nni_list, test/nni_search.py:327-340; the hash
+    is the C++ std::hash of the NNI -- implementation-defined -- so the
+    PCSP bitstring + score are the portable fidelity oracle)."""
+    out = []
+    with open(path) as fp:
+        for line in fp:
+            fields = line.strip().split()
+            if not fields or fields[0].startswith("#"):
+                continue
+            score = float(fields[2]) if len(fields) > 2 else None
+            out.append((fields[1], score))
+    return out
+
+
+def golden_nni_search(fasta_path: str, seed_newick_path: str,
+                      iter_max: int = 200, opt_max: int = 5,
+                      verbose: bool = False, on_iteration=None
+                      ) -> GoldenNNISearch:
+    """Build the DS1-style search from files and run it."""
+    collection = parse_newick_file(seed_newick_path)
+    alignment = read_fasta(fasta_path)
+    sp = SitePattern(alignment, collection.taxon_names)
+    dag = build_dag(collection)
+    search = GoldenNNISearch(dag, sp, collection.trees, opt_max=opt_max)
+    search.run(iter_max=iter_max, verbose=verbose, on_iteration=on_iteration)
+    return search
