@@ -577,26 +577,41 @@ class GPEngine:
             current = marginal
         return current
 
+    def _sbn_segment_arrays(self):
+        """Flat segment-id arrays for the device-side SBN update, cached per
+        schedule: seg_ids[e] in [0, nseg) for covered edges (-> bucket nseg
+        for uncovered), plus singleton and covered masks."""
+        segs = self.schedule.sbn_segments
+        key = id(self.schedule)
+        cached = getattr(self, "_sbn_seg_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1:]
+        E = int(np.asarray(self.q).shape[0])
+        seg_ids = np.full(E, len(segs), dtype=np.int32)
+        singleton = np.zeros(E, dtype=bool)
+        for i, (start, end) in enumerate(segs):
+            seg_ids[start:end] = i
+            if end - start == 1:
+                singleton[start] = True
+        covered = seg_ids < len(segs)
+        out = (jnp.asarray(seg_ids), len(segs), jnp.asarray(singleton),
+               jnp.asarray(covered))
+        self._sbn_seg_cache = (key,) + out
+        return out
+
     def update_sbn_probabilities(self):
         """Reference UpdateSBNProbabilities (src/gp_engine.cpp:304-321):
-        per-parent-segment posterior normalization of q."""
-        q = np.asarray(self.q).copy()
-        ll = np.asarray(self.per_edge_ll)
-        hybrid = self.hybrid_marginal_log_likelihoods
-        for start, end in self.schedule.sbn_segments:
-            if end - start == 1:
-                q[start] = 1.0
-                continue
-            # Prefer hybrid marginals when the whole segment has them
-            # (reference UpdateSBNProbabilities, src/gp_engine.cpp:304-321).
-            seg_src = (hybrid[start:end]
-                       if np.all(np.isfinite(hybrid[start:end])) else
-                       ll[start:end])
-            seg = seg_src + np.log(q[start:end])
-            seg = seg - seg.max()
-            p = np.exp(seg)
-            q[start:end] = p / p.sum()
-        self.q = jnp.asarray(q, dtype=self.dtype)
+        per-parent-segment posterior normalization of q, computed as one
+        XLA segment-softmax (segment_max / segment_sum) instead of a host
+        loop over segments.  Segments whose hybrid marginals are all finite
+        use those; otherwise the per-edge likelihoods."""
+        seg_ids, nseg, singleton, covered = self._sbn_segment_arrays()
+        q = jnp.asarray(self.q, dtype=self.dtype)
+        ll = jnp.asarray(self.per_edge_ll, dtype=self.dtype)
+        hybrid = jnp.asarray(self.hybrid_marginal_log_likelihoods,
+                             dtype=self.dtype)
+        self.q = _sbn_segment_softmax(q, ll, hybrid, seg_ids, nseg,
+                                      singleton, covered)
 
     def estimate_sbn_parameters(self):
         """Reference GPInstance::EstimateSBNParameters: populate, compute
@@ -650,6 +665,29 @@ class GPEngine:
         self.branch_lengths = jnp.asarray(bl, dtype=self.dtype)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("nseg",))
+def _sbn_segment_softmax(q, ll, hybrid, seg_ids, nseg, singleton, covered):
+    """One-shot segment softmax for UpdateSBNProbabilities: per segment,
+    normalize exp(src + log q); singletons pin to 1; uncovered edges keep
+    their q."""
+    finite = jnp.isfinite(hybrid)
+    # A segment uses hybrid values iff every member is finite.
+    seg_all_finite = jax.ops.segment_min(
+        finite.astype(jnp.int32), seg_ids, num_segments=nseg + 1)
+    use_hybrid = seg_all_finite[seg_ids] > 0
+    src = jnp.where(use_hybrid, hybrid, ll)
+    x = src + jnp.log(q)
+    m = jax.ops.segment_max(x, seg_ids, num_segments=nseg + 1)
+    p = jnp.exp(x - m[seg_ids])
+    s = jax.ops.segment_sum(p, seg_ids, num_segments=nseg + 1)
+    out = p / s[seg_ids]
+    out = jnp.where(singleton, 1.0, out)
+    return jnp.where(covered, out, q)
+
+
 # ---------------------------------------------------------------------------
 # Quartet hybrid marginals (reference GPEngine::CalculateQuartetHybridLikelihoods,
 # src/gp_engine.cpp:748-816; requests per GPDAG::QuartetHybridRequestOf,
@@ -658,6 +696,37 @@ class GPEngine:
 def _np_jc69(t: float) -> np.ndarray:
     e = np.exp(-4.0 * t / 3.0)
     return 0.25 * (1.0 - e) + e * np.eye(4)
+
+
+@jax.jit
+def _quartet_hybrid_program(root_pv, root_ls, root_bl, log_prior_g,
+                            inv_prior_i, sis_pv, sis_ls, sis_bl, q_j,
+                            central_bl, rot_pv, rot_ls, rot_bl, q_k,
+                            sor_pv, sor_ls, sor_bl, q_l, weights):
+    """All (i, j, k, l) quartet log likelihoods of one hybrid request in a
+    single XLA program (replaces the reference's nested per-tip loops,
+    src/gp_engine.cpp:748-816).  PV inputs are [N,4,S]; scale inputs [N,S];
+    returns [I,J,K,L] in the reference's loop order."""
+    root = jnp.einsum("iab,ibs->ias", jc69_transition(root_bl), root_pv)
+    sis = jnp.einsum("jab,jbs->jas", jc69_transition(sis_bl), sis_pv)
+    rot = jnp.einsum("kab,kbs->kas", jc69_transition(rot_bl), rot_pv)
+    sor = jnp.einsum("lab,lbs->las", jc69_transition(sor_bl), sor_pv)
+    r_s = root[:, None] * sis[None]                       # [I,J,4,S]
+    q_s = jnp.einsum("ab,ijbs->ijas", jc69_transition(central_bl), r_s)
+    r_sorted = q_s[:, :, None] * rot[None, None]          # [I,J,K,4,S]
+    val = jnp.einsum("ijkas,las->ijkls", r_sorted, sor)   # [I,J,K,L,S]
+    scales_ijk = (root_ls[:, None, None, :] + sis_ls[None, :, None, :]
+                  + rot_ls[None, None, :, :])          # [I,J,K,S]
+    per_site = (jnp.log(jnp.where(val > 0, val, 1e-300))
+                + scales_ijk[:, :, :, None, :]
+                + sor_ls[None, None, None, :, :]
+                - log_prior_g[:, None, None, None, None])
+    total = jnp.einsum("ijkls,s->ijkl", per_site, weights)
+    non_seq = (jnp.log(inv_prior_i)[:, None, None, None]
+               + jnp.log(q_j)[None, :, None, None]
+               + jnp.log(q_k)[None, None, :, None]
+               + jnp.log(q_l)[None, None, None, :])
+    return total + non_seq
 
 
 class _HybridMixin:
@@ -694,39 +763,30 @@ class _HybridMixin:
         if not (rootward and sister and rotated and sorted_):
             return None
         central_edge = dag.edge_to_id[(parent_id, child_id)]
-        plv = np.asarray(self.plv)
-        ls = np.asarray(self.ls)
-        bl = np.asarray(self.branch_lengths)
-        q = np.asarray(self.q)
-        w = np.asarray(self.site_pattern.weights)
-        inv_prior = self.inverted_sbn_prior
-        node_probs = self.unconditional_node_probabilities
-        out = []
-        for (g, g_plv, e_i) in rootward:
-            root_plv = _np_jc69(bl[e_i]) @ plv[g_plv, g]
-            ls_root = ls[g_plv, g]
-            log_prior_g = np.log(node_probs[g])
-            for (s, s_plv, e_j) in sister:
-                r_s = root_plv * (_np_jc69(bl[e_j]) @ plv[s_plv, s])
-                ls_rs = ls_root + ls[s_plv, s]
-                q_s = _np_jc69(bl[central_edge]) @ r_s
-                for (ck, k_plv, e_k) in rotated:
-                    r_sorted = q_s * (_np_jc69(bl[e_k]) @ plv[k_plv, ck])
-                    ls_rsorted = ls_rs + ls[k_plv, ck]
-                    for (cl, l_plv, e_l) in sorted_:
-                        val = np.einsum(
-                            "as,as->s", r_sorted,
-                            _np_jc69(bl[e_l]) @ plv[l_plv, cl],
-                        )
-                        per_site = (
-                            np.log(np.where(val > 0, val, 1e-300))
-                            + ls_rsorted + ls[l_plv, cl] - log_prior_g
-                        )
-                        non_seq = np.log(
-                            inv_prior[e_i] * q[e_j] * q[e_k] * q[e_l]
-                        )
-                        out.append(non_seq + float(per_site @ w))
-        return np.asarray(out)
+        plv, ls, bl, q = self.plv, self.ls, self.branch_lengths, self.q
+        inv_prior = jnp.asarray(self.inverted_sbn_prior, dtype=self.dtype)
+        node_probs = jnp.asarray(self.unconditional_node_probabilities,
+                                 dtype=self.dtype)
+
+        def gather(entries):
+            nodes = jnp.asarray([n for n, _, _ in entries])
+            types = jnp.asarray([t for _, t, _ in entries])
+            edges = jnp.asarray([e for _, _, e in entries])
+            return (plv[types, nodes], ls[types, nodes], bl[edges], edges)
+
+        root_pv, root_ls, root_bl, root_e = gather(rootward)
+        sis_pv, sis_ls, sis_bl, sis_e = gather(sister)
+        rot_pv, rot_ls, rot_bl, rot_e = gather(rotated)
+        sor_pv, sor_ls, sor_bl, sor_e = gather(sorted_)
+        g_ids = jnp.asarray([g for g, _, _ in rootward])
+        vals = _quartet_hybrid_program(
+            root_pv, root_ls, root_bl, jnp.log(node_probs[g_ids]),
+            inv_prior[root_e], sis_pv, sis_ls, sis_bl, q[sis_e],
+            bl[central_edge], rot_pv, rot_ls, rot_bl, q[rot_e],
+            sor_pv, sor_ls, sor_bl, q[sor_e],
+            jnp.asarray(self.weights, dtype=self.dtype),
+        )
+        return np.asarray(vals).reshape(-1)
 
     def process_quartet_hybrid_request(self, parent_id: int, is_left: bool,
                                        child_id: int):
