@@ -3,8 +3,10 @@
 The reference has no binary checkpointing (SURVEY §5.4): persistence is
 CSV/Newick round trips.  Here full state snapshots — SBN parameters, branch
 lengths, variational parameters, DAG node/edge identity (as bitset strings),
-optimizer moments — serialize through orbax (numpy/JSON trees), giving
-deterministic restart for long VI/NNI runs on preemptible TPU jobs.
+optimizer moments — serialize as one atomic .npz file (binary numpy arrays
++ a JSON metadata tree), giving deterministic restart for long VI/NNI runs
+on preemptible TPU jobs.  Array leaves round-trip at full f64 precision
+without the cost of text encoding; legacy JSON snapshots still load.
 """
 from __future__ import annotations
 
@@ -13,18 +15,6 @@ import os
 from typing import Any, Dict, Optional
 
 import numpy as np
-
-
-def _to_jsonable(tree: Dict[str, Any]) -> Dict[str, Any]:
-    out = {}
-    for k, v in tree.items():
-        if isinstance(v, np.ndarray):
-            out[k] = {"__ndarray__": v.tolist(), "dtype": str(v.dtype)}
-        elif isinstance(v, dict):
-            out[k] = _to_jsonable(v)
-        else:
-            out[k] = v
-    return out
 
 
 def _from_jsonable(tree: Dict[str, Any]) -> Dict[str, Any]:
@@ -40,17 +30,52 @@ def _from_jsonable(tree: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def save_state(path: str, state: Dict[str, Any]):
-    """Atomic single-file snapshot (numpy arrays + JSON scalars)."""
+    """Atomic single-file snapshot: arrays as npz members, everything else
+    in a JSON metadata tree stored alongside them."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    arrays: Dict[str, np.ndarray] = {}
+
+    def strip(tree: Dict[str, Any], prefix: str) -> Dict[str, Any]:
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, np.ndarray):
+                key = prefix + str(k)
+                arrays[key] = v
+                out[k] = {"__npz__": key}
+            elif isinstance(v, dict):
+                out[k] = strip(v, prefix + str(k) + "/")
+            else:
+                out[k] = v
+        return out
+
+    meta = strip(state, "")
     tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(_to_jsonable(state), f)
+    with open(tmp, "wb") as f:
+        np.savez(f, __meta__=np.asarray(json.dumps(meta)), **arrays)
     os.replace(tmp, path)
 
 
 def load_state(path: str) -> Dict[str, Any]:
-    with open(path) as f:
-        return _from_jsonable(json.load(f))
+    with open(path, "rb") as f:
+        head = f.read(2)
+    if head != b"PK":  # legacy JSON snapshot
+        with open(path) as f:
+            return _from_jsonable(json.load(f))
+    with np.load(path, allow_pickle=False) as npz:
+        meta = json.loads(str(npz["__meta__"]))
+
+        def rebuild(tree: Dict[str, Any]) -> Dict[str, Any]:
+            out = {}
+            for k, v in tree.items():
+                if isinstance(v, dict) and "__npz__" in v:
+                    out[k] = npz[v["__npz__"]]
+                elif isinstance(v, dict):
+                    out[k] = rebuild(v)
+                else:
+                    out[k] = v
+            return out
+
+        return rebuild(meta)
 
 
 # -- instance-level helpers -------------------------------------------------
