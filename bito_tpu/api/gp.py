@@ -251,12 +251,21 @@ def _tp_engine_set_branch_lengths_by_taking_first(self: GPInstance):
 
 def _make_nni_engine(self: GPInstance, scoring: str = "tp_likelihood"):
     from ..nni.engine import GPScoredNNIEngine, NNIEngine
+    from ..nni.golden import FaithfulNNIEngine
 
     if self.dag is None:
         self.make_dag()
     sp = SitePattern(self.alignment, self.tree_collection.taxon_names)
     if scoring == "gp_likelihood":
         self.nni_engine = GPScoredNNIEngine(
+            self.get_dag(), sp, self.tree_collection.trees
+        )
+    elif scoring == "tp_likelihood":
+        # The trajectory-faithful per-edge-PV engine: incremental DAG
+        # growth with PV carry-over, no rebuild/recompile per acceptance
+        # (reference NNIEvalEngineViaTP + GPEngine grow/reindex,
+        # src/gp_engine.cpp:64-209).
+        self.nni_engine = FaithfulNNIEngine(
             self.get_dag(), sp, self.tree_collection.trees
         )
     else:

@@ -77,6 +77,10 @@ class GoldenNNISearch:
         self.past_accepted: Set[NNI] = set()
         self.records: List[AcceptRecord] = []
         self._last_mods = None
+        # Filter scheme over the scored set (reference
+        # SetTopKScoreFilteringScheme / SetEvaluateViaMinScoreCutoff /
+        # Set*DropFilteringScheme, src/nni_engine.cpp:370-445).
+        self.filter: Tuple[str, float] = ("top_k", 1)
 
     # -- RunInit (reference nni_engine.cpp:217-228) ------------------------
     def run_init(self):
@@ -130,11 +134,20 @@ class GoldenNNISearch:
                 old = self.scored.pop(nni, None)
                 self.scored[nni] = score
                 self.new_scored[nni] = score
-        # FilterPostScore (top-1) + FilterEvaluate (min-score cutoff over
-        # ALL scored NNIs; reevaluate_rejected_nnis_ defaults true).
+        # FilterPostScore + FilterEvaluate (min-score cutoff over ALL
+        # scored NNIs; reevaluate_rejected_nnis_ defaults true).
         self.accepted = []
         if self.scored:
-            cutoff = max(self.scored.values())
+            kind, value = self.filter
+            if kind == "top_k":
+                ranked = sorted(self.scored.values(), reverse=True)
+                cutoff = ranked[min(int(value), len(ranked)) - 1]
+            elif kind == "cutoff":
+                cutoff = value
+            elif kind == "drop":
+                cutoff = max(self.scored.values()) - value
+            else:
+                raise ValueError(kind)
             self.accepted = [nni for nni, s in self.scored.items()
                              if s >= cutoff]
         # (4) Add accepted NNIs to the DAG + engine update.
@@ -278,3 +291,115 @@ def golden_nni_search(fasta_path: str, seed_newick_path: str,
     search = GoldenNNISearch(dag, sp, collection.trees, opt_max=opt_max)
     search.run(iter_max=iter_max, verbose=verbose, on_iteration=on_iteration)
     return search
+
+class _NNIView:
+    """NNIOperation-shaped view of a (parent, child) Subsplit pair."""
+
+    __slots__ = ("parent", "child")
+
+    def __init__(self, nni: NNI):
+        self.parent, self.child = nni
+
+    def key(self) -> Tuple[str, str]:
+        return (self.parent.to_string(), self.child.to_string())
+
+
+class FaithfulNNIEngine:
+    """NNIEngine-compatible facade over GoldenNNISearch: the product
+    TP-likelihood search path.  Unlike the batched whole-tree engine
+    (`nni/engine.py`), DAG growth here is incremental — AddNodePair with
+    reindexers, PV carry-over, and local-only recompute (reference
+    GPEngine::GrowPLVs/Reindex role, src/gp_engine.cpp:64-209) — so a long
+    search never rebuilds or recompiles engine state."""
+
+    def __init__(self, dag: SubsplitDAG, site_pattern: SitePattern,
+                 supporting_trees: Sequence[Tree], opt_max: int = 5):
+        self.search = GoldenNNISearch(dag, site_pattern, supporting_trees,
+                                      opt_max=opt_max)
+        self.iterations = 0
+        self.accepted_scores_this_iter: Dict[Tuple[str, str], float] = {}
+        self._initialized = False
+
+    @property
+    def dag(self) -> SubsplitDAG:
+        return self.search.dag
+
+    @property
+    def engine(self) -> "FaithfulTPEvalEngine":
+        return self.search.engine
+
+    # -- filter schemes ----------------------------------------------------
+    def set_top_k_score_filtering_scheme(self, k: int):
+        self.search.filter = ("top_k", k)
+
+    def set_filter_cutoff(self, cutoff: float):
+        self.search.filter = ("cutoff", cutoff)
+
+    def set_tp_likelihood_cutoff_filtering_scheme(self, cutoff: float):
+        self.search.filter = ("cutoff", cutoff)
+
+    def set_filter_drop_from_best(self, window: float):
+        self.search.filter = ("drop", window)
+
+    def set_tp_likelihood_drop_filtering_scheme(self, window: float):
+        self.search.filter = ("drop", window)
+
+    # -- loop --------------------------------------------------------------
+    def run_init(self):
+        self.search.run_init()
+        self._initialized = True
+
+    def run_main_loop(self, quiet: bool = True) -> bool:
+        if not self._initialized:
+            self.run_init()
+        any_accepted = self.search.run_main_loop()
+        self.iterations += 1
+        self.accepted_scores_this_iter = {
+            _NNIView(nni).key(): self.search.scored[nni]
+            for nni in self.search.accepted
+        }
+        if not quiet:
+            print(f"iter {self.iterations}: "
+                  f"{len(self.search.adjacent)} adjacent, "
+                  f"{len(self.search.accepted)} accepted")
+        return any_accepted
+
+    def run_post_loop(self):
+        self.search.run_post_loop()
+
+    def run(self, iter_max: int = 200, quiet: bool = True):
+        self.run_init()
+        it = 0
+        while it < iter_max and self.adjacent_nni_count():
+            if not self.run_main_loop(quiet=quiet):
+                break
+            self.run_post_loop()
+            it += 1
+
+    # -- accessors (reference src/nni_engine.hpp:118-213) ------------------
+    def adjacent_nnis(self):
+        return [_NNIView(n) for n in self.search.adjacent]
+
+    def adjacent_nni_count(self) -> int:
+        return len(self.search.adjacent)
+
+    def accepted_nnis(self):
+        return [_NNIView(n) for n in self.search.accepted]
+
+    def accepted_nni_count(self) -> int:
+        return len(self.search.accepted)
+
+    def past_accepted_nnis(self):
+        return [_NNIView(n) for n in self.search.past_accepted]
+
+    def past_accepted_nni_count(self) -> int:
+        return len(self.search.past_accepted)
+
+    def scored_nnis(self) -> Dict[Tuple[str, str], float]:
+        return {_NNIView(n).key(): s for n, s in self.search.scored.items()}
+
+    def scored_nni_count(self) -> int:
+        return len(self.search.scored)
+
+    def iter_count(self) -> int:
+        return self.iterations
