@@ -81,6 +81,14 @@ class GoldenNNISearch:
         # SetTopKScoreFilteringScheme / SetEvaluateViaMinScoreCutoff /
         # Set*DropFilteringScheme, src/nni_engine.cpp:370-445).
         self.filter: Tuple[str, float] = ("top_k", 1)
+        # Re-label adjacent NNIs near DAG modifications as new so they are
+        # rescored with fresh PVs (reference UpdateOutOfDateAdjacentNNIs,
+        # nni_engine.cpp:933-984; the DS1 golden run was produced with this
+        # behavior on -- verified empirically against run.811b735.csv).
+        self.rescore_out_of_date = True
+        # Rescore every adjacent NNI each iteration (reference
+        # SetRescoreRejectedNNIs / rescore_rejected_nnis_).
+        self.rescore_all = False
 
     # -- RunInit (reference nni_engine.cpp:217-228) ------------------------
     def run_init(self):
@@ -124,7 +132,9 @@ class GoldenNNISearch:
     def run_main_loop(self):
         # FilterPreScore → ScoreAdjacentNNIs over NNIs-to-rescore (the new
         # adjacent set; rescore_rejected_nnis_ defaults false).
-        to_rescore = sorted(self.new_adjacent, key=nni_sort_key)
+        to_rescore = sorted(
+            self.adjacent if self.rescore_all else self.new_adjacent,
+            key=nni_sort_key)
         self.new_scored = {}
         if to_rescore:
             best_edge_map = (self.engine.build_best_edge_map(to_rescore)
@@ -170,18 +180,30 @@ class GoldenNNISearch:
         return out
 
     def _add_accepted_nnis_to_dag(self):
+        from ..dag.reference_order import add_node_pair_reference_ordered
+
         nni_to_pre_nni = self._find_nni_to_pre_nni()
         prev_edge_count = self.dag.edge_count()
         mods = None
         for nni, _ in nni_to_pre_nni:
-            m = self.dag.add_node_pair(nni[0], nni[1])
+            m = add_node_pair_reference_ordered(self.dag, nni[0], nni[1])
             mods = m if mods is None else _compose_mods(mods, m)
         self._last_mods = mods
         # FilterPostModification → GrowEvalEngineForDAG +
         # UpdateEvalEngineAfterModifyingDAG (nni_engine.cpp:459-468).
         self.engine.grow_and_reindex(mods)
-        self.engine.update_after_modifying_dag(nni_to_pre_nni,
-                                               prev_edge_count, mods)
+        if getattr(self, "per_nni_update", False):
+            # 811b735-era hypothesis: choice-map update + the per-NNI local
+            # engine update (UpdateEngineAfterDAGAddNodePair).
+            self.engine._update_choice_map_after_modifying_dag(
+                nni_to_pre_nni, prev_edge_count, mods)
+            for post, pre in nni_to_pre_nni:
+                self.engine.update_engine_after_dag_add_node_pair(post, pre)
+            self.engine.compute_scores(sorted(
+                int(e) for e in mods.added_edge_ids))
+        else:
+            self.engine.update_after_modifying_dag(nni_to_pre_nni,
+                                                   prev_edge_count, mods)
 
     # -- RunPostLoop (reference nni_engine.cpp:259-277, 897-1020) ----------
     def run_post_loop(self):
@@ -209,8 +231,51 @@ class GoldenNNISearch:
                                       else dag.nodes[pid])
                             child = dag.nodes[int(dag.edge_child[adj_e])]
                             self._safe_add(parent, child)
+        if self.rescore_out_of_date:
+            self._update_out_of_date_adjacent_nnis()
         self.past_accepted.update(self.accepted)
         self.accepted = []
+
+    def _update_out_of_date_adjacent_nnis(self):
+        """Reference UpdateOutOfDateAdjacentNNIs (nni_engine.cpp:933-984):
+        adjacent NNIs whose nodes are newly added, or with new edges to
+        potential grandparent/grandchild nodes, are re-labeled new."""
+        dag = self.dag
+        mods = self._last_mods
+        updated = set(int(n) for n in mods.added_node_ids)
+        for e in mods.added_edge_ids:
+            updated.add(int(dag.edge_parent[e]))
+            updated.add(int(dag.edge_child[e]))
+        # Potential parent/child nodes of a subsplit, via clade maps
+        # (reference FindParentNodeIdsViaMap / FindChildNodeIdsViaMap).
+        by_clade0: Dict[int, List[int]] = {}
+        by_clade1: Dict[int, List[int]] = {}
+        by_union: Dict[int, List[int]] = {}
+        for nid in range(dag.node_count_without_dag_root()):
+            ss = dag.nodes[nid]
+            by_clade0.setdefault(ss.clade0, []).append(nid)
+            by_clade1.setdefault(ss.clade1, []).append(nid)
+            by_union.setdefault(ss.union, []).append(nid)
+        for nni in self.adjacent:
+            if nni in self.new_adjacent:
+                continue
+            found = False
+            for ss in nni:
+                if found:
+                    continue
+                nid = dag.subsplit_to_id.get(ss.to_string())
+                if nid is not None and nid in updated:
+                    self.new_adjacent.add(nni)
+                    continue
+                neighbor_ids = (by_clade0.get(ss.union, [])
+                                + by_clade1.get(ss.union, [])
+                                + by_union.get(ss.clade0, [])
+                                + by_union.get(ss.clade1, []))
+                for cand in neighbor_ids:
+                    if cand in updated:
+                        self.new_adjacent.add(nni)
+                        found = True
+                        break
 
     # -- full run -----------------------------------------------------------
     def run(self, iter_max: int = 200, verbose: bool = False,
@@ -284,10 +349,12 @@ def golden_nni_search(fasta_path: str, seed_newick_path: str,
                       verbose: bool = False, on_iteration=None
                       ) -> GoldenNNISearch:
     """Build the DS1-style search from files and run it."""
+    from ..dag.reference_order import build_dag_reference_ordered
+
     collection = parse_newick_file(seed_newick_path)
     alignment = read_fasta(fasta_path)
     sp = SitePattern(alignment, collection.taxon_names)
-    dag = build_dag(collection)
+    dag = build_dag_reference_ordered(collection)
     search = GoldenNNISearch(dag, sp, collection.trees, opt_max=opt_max)
     search.run(iter_max=iter_max, verbose=verbose, on_iteration=on_iteration)
     return search

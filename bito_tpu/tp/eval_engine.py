@@ -1041,3 +1041,89 @@ class FaithfulTPEvalEngine:
             self.pv[RHAT, e] = self._evolved(e, self.pv[r_focal, pe])
         self.pv[R_LEFT, e] = self.pv[RHAT, e] * self.pv[PHAT_RIGHT, e]
         self.pv[R_RIGHT, e] = self.pv[RHAT, e] * self.pv[PHAT_LEFT, e]
+
+    # -- per-NNI post-acceptance update (reference
+    #    UpdateEngineAfterDAGAddNodePair, tp_evaluation_engine.cpp:237-267,
+    #    + CopyOverEdgeDataFromPreNNIToPostNNI, tp_engine.cpp:364-421) ------
+    def branch_length_optimization_edge(self, e: int,
+                                        check_branch_convergence: bool,
+                                        update_only: bool = False):
+        """Reference TPEvalEngineViaLikelihood::BranchLengthOptimization
+        (edge form, tp_evaluation_engine.cpp:1003-1024)."""
+        pe = int(self.choice[e, PARENT])
+        if pe == NO_EDGE:
+            return
+        self.populate_rootward_pv_for_edge(e)
+        self.populate_rootward_pv_for_edge(pe)
+        self.populate_leafward_pv_for_edge(pe)
+        if not update_only:
+            parent_rfocal, child_p = self.primary_pv_ids(e)
+            self._optimize_branch_length(e, parent_rfocal, child_p,
+                                         check_branch_convergence)
+        self.populate_leafward_pv_for_edge(e)
+
+    def update_engine_after_dag_add_node_pair(self, post, pre):
+        """The per-NNI incremental update: copy adjacent branch lengths from
+        the pre-NNI neighborhood, refresh the five adjacent edges' PVs, and
+        locally optimize them."""
+        dag = self.dag
+        self._copy_over_edge_data_pre_to_post(post, pre)
+        focal = dag.get_edge_id(post[0], post[1])
+        ch = self.choice[focal]
+        adj = [int(ch[LEFT_CHILD]), int(ch[RIGHT_CHILD]), focal,
+               int(ch[SISTER]), int(ch[PARENT])]
+        for e in adj:
+            if e != NO_EDGE:
+                self.populate_rootward_pv_for_edge(e)
+        for e in reversed(adj):
+            if e != NO_EDGE:
+                self.populate_leafward_pv_for_edge(e)
+        if self.do_optimize_new_edges:
+            for e in adj:
+                if e != NO_EDGE:
+                    self.branch_length_optimization_edge(e, False)
+
+    def _copy_over_edge_data_pre_to_post(self, post, pre):
+        """Reference TPEngine::CopyOverEdgeDataFromPreNNIToPostNNI
+        (tp_engine.cpp:364-421): branch lengths of edges adjacent to the
+        pre-NNI copy onto the corresponding post-NNI edges."""
+        dag = self.dag
+        pre_parent = dag.get_node_id(pre[0])
+        pre_child = dag.get_node_id(pre[1])
+        post_parent = dag.get_node_id(post[0])
+        post_child = dag.get_node_id(post[1])
+        pre_e = dag.edge_to_id[(pre_parent, pre_child)]
+        post_e = dag.edge_to_id[(post_parent, post_child)]
+        pre_side = self._focal_side(pre_e)
+
+        def copy(src_e, dest_e):
+            if src_e is not None and dest_e is not None:
+                self.bl[dest_e] = self.bl[src_e]
+
+        def copy_common(pre_node, post_node, rootward: bool, side: bool):
+            adj = (dag.rootward if rootward else dag.leafward)
+            for other, _e in adj[pre_node][side]:
+                if rootward:
+                    src = dag.edge_to_id.get((other, pre_node))
+                    dest = dag.edge_to_id.get((other, post_node))
+                else:
+                    src = dag.edge_to_id.get((pre_node, other))
+                    dest = dag.edge_to_id.get((post_node, other))
+                copy(src, dest)
+
+        copy(pre_e, post_e)
+        copy_common(pre_parent, post_parent, True, LEFT)
+        copy_common(pre_parent, post_parent, True, RIGHT)
+        copy_common(pre_parent, post_child, False, not pre_side)
+        if nni_sister_clade_eq_left(pre, post):
+            post_left, post_right = post_parent, post_child
+        else:
+            post_left, post_right = post_child, post_parent
+        copy_common(pre_child, post_left, False, LEFT)
+        copy_common(pre_child, post_right, False, RIGHT)
+
+
+def nni_sister_clade_eq_left(pre, post) -> bool:
+    """pre sister clade == post child's left (clade0) clade (reference
+    CopyOverEdgeDataFromPreNNIToPostNNI's swap test)."""
+    return nni_sister_clade(pre[0], pre[1]) == post[1].clade0
