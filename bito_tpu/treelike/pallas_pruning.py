@@ -50,12 +50,52 @@ def block_diag_transitions(P: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(*lead, C * A, C * A)
 
 
+def _hi(x):
+    return x.astype(jnp.bfloat16).astype(jnp.float32)
+
+
+def _pair_evolve(P_ref, buf, e1, s1, e2, s2, L1, L2, bpair, CA):
+    """Both evolves of one op as two block-diagonal MXU dots instead of six
+    16-wide ones: ev = P_hi@b_hi + P_lo@b_hi + P_hi@b_lo (the 3-pass bf16
+    hi/lo split), with {P1,P2} x {hi,lo} packed into one 4CAx2CA operand and
+    the cross terms into one 2CAx2CA operand.  All operands are bf16-exact
+    by construction so DEFAULT dot precision is lossless."""
+    return _pair_dot(P_ref[0, e1], P_ref[0, e2],
+                     buf[pl.ds(s1 * CA, CA), :], buf[pl.ds(s2 * CA, CA), :],
+                     L1, L2, bpair, CA)
+
+
+def _pair_dot(P1, P2, b1, b2, L1, L2, bpair, CA):
+    """(P1 @ b1, P2 @ b2) at 3-pass bf16 accuracy in two block-diagonal
+    dots (see _pair_evolve)."""
+    P1h, P2h = _hi(P1), _hi(P2)
+    L1[0:CA, 0:CA] = P1h
+    L1[CA:2 * CA, 0:CA] = P1 - P1h
+    L1[2 * CA:3 * CA, CA:2 * CA] = P2h
+    L1[3 * CA:4 * CA, CA:2 * CA] = P2 - P2h
+    L2[0:CA, 0:CA] = P1h
+    L2[CA:2 * CA, CA:2 * CA] = P2h
+    bpair[0:CA, :] = b1
+    bpair[CA:2 * CA, :] = b2
+    b = bpair[...]
+    b_hi = _hi(b)
+    d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+    big = d(L1[...], b_hi)                         # [4CA, S]
+    cross = d(L2[...], b - b_hi)                   # [2CA, S]
+    ev1 = big[0:CA] + big[CA:2 * CA] + cross[0:CA]
+    ev2 = big[2 * CA:3 * CA] + big[3 * CA:4 * CA] + cross[CA:2 * CA]
+    return ev1, ev2
+
+
 def _kernel(ops_ref, P_ref, tips_ref, piprop_ref, out_ref,
-            buf, ls, *, M: int, T: int, CA: int, S_TILE: int, N1: int):
+            buf, ls, L1, L2, bpair, *, M: int, T: int, CA: int, S_TILE: int,
+            N1: int):
     # Initialize: all-ones buffer, tips in the first T slots, zero scales.
     buf[...] = jnp.ones_like(buf)
     buf[0:T * CA, :] = tips_ref[...]
     ls[...] = jnp.zeros_like(ls)
+    L1[...] = jnp.zeros_like(L1)
+    L2[...] = jnp.zeros_like(L2)
 
     def body(m, _):
         dest = ops_ref[0, m, 0]
@@ -63,10 +103,8 @@ def _kernel(ops_ref, P_ref, tips_ref, piprop_ref, out_ref,
         e1 = ops_ref[0, m, 2]
         s2 = ops_ref[0, m, 3]
         e2 = ops_ref[0, m, 4]
-        p1 = buf[pl.ds(s1 * CA, CA), :]
-        p2 = buf[pl.ds(s2 * CA, CA), :]
-        ev1 = _mxu_dot(P_ref[0, e1], p1)
-        ev2 = _mxu_dot(P_ref[0, e2], p2)
+        ev1, ev2 = _pair_evolve(P_ref, buf, e1, s1, e2, s2, L1, L2, bpair,
+                                CA)
         prod = ev1 * ev2
         mx = jnp.max(prod, axis=0, keepdims=True)           # [1, S]
         mx = jnp.where(mx > 0, mx, 1.0)
@@ -129,6 +167,9 @@ def pallas_log_likelihoods(
         scratch_shapes=[
             pltpu.VMEM((N1 * CA, s_tile), jnp.float32),
             pltpu.VMEM((N1, s_tile), jnp.float32),
+            pltpu.VMEM((4 * CA, 2 * CA), jnp.float32),
+            pltpu.VMEM((2 * CA, 2 * CA), jnp.float32),
+            pltpu.VMEM((2 * CA, s_tile), jnp.float32),
         ],
         interpret=interpret,
     )(ops_ext, P_blk, tips_flat, piprop)
@@ -137,7 +178,8 @@ def pallas_log_likelihoods(
 
 def _grad_kernel(ops_ref, pre_ref, P_ref, dP_ref, tips_ref, pivec_ref,
                  propvec_ref, w_ref, ll_ref, grad_ref, buf, up,
-                 ls, *, M: int, Mp: int, T: int, CA: int, N1: int):
+                 ls, L1, L2, bpair, *, M: int, Mp: int, T: int, CA: int,
+                 N1: int):
     """Postorder + root LL + preorder outside vectors + per-edge gradient
     rows, all VMEM-resident (the gradient analogue of _kernel; reference
     beagleCalculateEdgeDerivatives, src/fat_beagle.cpp:141-169).
@@ -152,6 +194,8 @@ def _grad_kernel(ops_ref, pre_ref, P_ref, dP_ref, tips_ref, pivec_ref,
     buf[...] = jnp.ones_like(buf)
     buf[0:T * CA, :] = tips_ref[...]
     ls[...] = jnp.zeros_like(ls)
+    L1[...] = jnp.zeros_like(L1)
+    L2[...] = jnp.zeros_like(L2)
 
     def body(m, _):
         dest = ops_ref[0, m, 0]
@@ -159,10 +203,8 @@ def _grad_kernel(ops_ref, pre_ref, P_ref, dP_ref, tips_ref, pivec_ref,
         e1 = ops_ref[0, m, 2]
         s2 = ops_ref[0, m, 3]
         e2 = ops_ref[0, m, 4]
-        p1 = buf[pl.ds(s1 * CA, CA), :]
-        p2 = buf[pl.ds(s2 * CA, CA), :]
-        ev1 = _mxu_dot(P_ref[0, e1], p1)
-        ev2 = _mxu_dot(P_ref[0, e2], p2)
+        ev1, ev2 = _pair_evolve(P_ref, buf, e1, s1, e2, s2, L1, L2, bpair,
+                                CA)
         prod = ev1 * ev2
         mx = jnp.max(prod, axis=0, keepdims=True)
         mx = jnp.where(mx > 0, mx, 1.0)
@@ -195,21 +237,30 @@ def _grad_kernel(ops_ref, pre_ref, P_ref, dP_ref, tips_ref, pivec_ref,
         e1 = pre_ref[0, m, 3]
         s2 = pre_ref[0, m, 4]
         e2 = pre_ref[0, m, 5]
-        ev1 = _mxu_dot(P_ref[0, e1], buf[pl.ds(s1 * CA, CA), :])
-        ev2 = _mxu_dot(P_ref[0, e2], buf[pl.ds(s2 * CA, CA), :])
+        ev1, ev2 = _pair_evolve(P_ref, buf, e1, s1, e2, s2, L1, L2, bpair,
+                                CA)
         o = up[pl.ds(parent * CA, CA), :] * ev1 * ev2       # [CA, S]
         mx = jnp.max(o, axis=0, keepdims=True)
         mx = jnp.where(mx > 0, mx, 1.0)
         o = o / mx
         p = buf[pl.ds(dest * CA, CA), :]
         Pd = P_ref[0, dest]
-        den = _mxu_dot(propvec,
-                      o * _mxu_dot(Pd, p))   # [1, S]
-        num = _mxu_dot(propvec,
-                      o * _mxu_dot(dP_ref[0, dest], p))
+        # P@p and dP@p fused into the same pair of block-diagonal dots.
+        Pp, dPp = _pair_dot(Pd, dP_ref[0, dest], p, p, L1, L2, bpair, CA)
+        den = _mxu_dot(propvec, o * Pp)                     # [1, S]
+        num = _mxu_dot(propvec, o * dPp)
         den = jnp.where(den > 0, den, 1.0)
         grad_ref[0, pl.ds(dest, 1), :] = w * num / den
-        up[pl.ds(dest * CA, CA), :] = _mxu_dot(Pd.T, o)
+        # up[dest] = Pd^T @ o, hi/lo fused: [P_hi; P_lo] @ o_hi + P_hi @ o_lo.
+        Pt = Pd.T
+        Pth = _hi(Pt)
+        L1[0:CA, 0:CA] = Pth
+        L1[CA:2 * CA, 0:CA] = Pt - Pth
+        o_hi = _hi(o)
+        d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+        big = d(L1[0:2 * CA, 0:CA], o_hi)
+        up[pl.ds(dest * CA, CA), :] = (big[0:CA] + big[CA:2 * CA]
+                                       + d(Pth, o - o_hi))
         return 0
 
     jax.lax.fori_loop(0, Mp, pre_body, 0)
@@ -285,6 +336,9 @@ def pallas_ll_and_gradients(
             pltpu.VMEM((N1 * CA, s_tile), jnp.float32),
             pltpu.VMEM((N1 * CA, s_tile), jnp.float32),
             pltpu.VMEM((N1, s_tile), jnp.float32),
+            pltpu.VMEM((4 * CA, 2 * CA), jnp.float32),
+            pltpu.VMEM((2 * CA, 2 * CA), jnp.float32),
+            pltpu.VMEM((2 * CA, s_tile), jnp.float32),
         ],
         interpret=interpret,
     )(ops_ext, pre_ops, P_blk, dP_blk, tips_flat, pivec, propvec, w2)
