@@ -137,11 +137,12 @@ class GoldenNNISearch:
             key=nni_sort_key)
         self.new_scored = {}
         if to_rescore:
-            best_edge_map = (self.engine.build_best_edge_map(to_rescore)
-                             if self.engine.use_best_edge_map else None)
-            for nni in to_rescore:
-                score = self.engine.score_proposed_nni(nni, best_edge_map)
-                old = self.scored.pop(nni, None)
+            # One XLA dispatch for the whole candidate set (the reference's
+            # hot loop, src/nni_engine.cpp:230-257); score_adjacent_nnis
+            # falls back to the serial oracle when f64 is unavailable.
+            scores = self.engine.score_adjacent_nnis(to_rescore)
+            for nni, score in zip(to_rescore, scores):
+                self.scored.pop(nni, None)
                 self.scored[nni] = score
                 self.new_scored[nni] = score
         # FilterPostScore + FilterEvaluate (min-score cutoff over ALL

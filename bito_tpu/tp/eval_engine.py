@@ -229,6 +229,9 @@ class FaithfulTPEvalEngine:
         self.use_best_edge_map = True
         self.init_proposed_bls_with_dag = True
         self.fix_proposed_bls_from_dag = True
+        # Candidate scoring runs as one vmapped XLA dispatch when f64 is
+        # on; the serial path remains the oracle (tests compare the two).
+        self.use_batched_scorer = True
 
     # -- small DAG helpers -------------------------------------------------
     def _is_edge_root(self, e: int) -> bool:
@@ -771,12 +774,30 @@ class FaithfulTPEvalEngine:
                          P_of(bl[A_FOCAL]) @ t["child_p"])
         return float(np.log(vals) @ w)
 
+    def score_proposed_nnis_batched(self, posts, best_edge_map=None):
+        """All proposed-NNI scores as ONE vmapped XLA dispatch (the
+        reference's hot loop, src/nni_engine.cpp:230-257; program in
+        tp/batch_scorer.py).  Matches the serial `score_proposed_nni` to
+        f64 reassociation tolerance (tests/test_batch_scorer.py)."""
+        from .batch_scorer import score_proposed_nnis_batched
+
+        if best_edge_map is None and self.use_best_edge_map:
+            best_edge_map = self.build_best_edge_map(list(posts))
+        return score_proposed_nnis_batched(self, list(posts), best_edge_map)
+
     def score_adjacent_nnis(self, nnis: Sequence[Tuple[Subsplit, Subsplit]]
                             ) -> List[float]:
         """Reference NNIEvalEngineViaTP::ScoreAdjacentNNIs
-        (nni_evaluation_engine.cpp:1075-1087)."""
+        (nni_evaluation_engine.cpp:1075-1087).  Uses the batched XLA scorer
+        when f64 is available (the faithful path's precision contract);
+        set `use_batched_scorer = False` to force the serial oracle."""
+        import jax
+
         best_edge_map = (self.build_best_edge_map(nnis)
                          if self.use_best_edge_map else None)
+        if self.use_batched_scorer and jax.config.jax_enable_x64 and nnis:
+            return [float(s) for s in
+                    self.score_proposed_nnis_batched(nnis, best_edge_map)]
         return [self.score_proposed_nni(nni, best_edge_map) for nni in nnis]
 
     # -- growth + post-acceptance update (reference tp_engine.cpp:238-556,
