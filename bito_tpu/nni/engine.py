@@ -142,29 +142,21 @@ class NNIEngine:
         """Build the proposed top tree for an NNI: take the top tree of the
         pre-NNI central edge and swap the sister subtree with the
         appropriate child subtree (the reference's pre->post clade mapping,
-        src/nni_operation.hpp:70-82, realized as host tree surgery)."""
+        src/nni_operation.hpp:70-82, realized as host tree surgery).
+
+        The pre-NNI central edge is found in O(1): the NNI swap is an
+        involution, so the DAG edge it came from is one of the proposed
+        NNI's own two neighboring NNIs — dict lookups against the DAG's
+        subsplit/edge maps replace the former O(E) edge scan (reference
+        uses the same constant-time clade maps, src/nni_operation.hpp:70-82
+        + GetCentralEdgePCSP)."""
         dag = self.dag
-        # Find the central (pre-NNI) edge: the DAG edge whose parent/child
-        # clades partition the same three clades.
-        new_parent, new_child = nni.parent, nni.child
-        sister = (new_child.clade0
-                  if new_child.clade0 & new_parent.clade0 == 0 else None)
-        # The pre-NNI pair shares the union; enumerate DAG edges over the
-        # same union whose child splits differently.
-        union = new_parent.union
         best_edge = None
-        for e in range(dag.edge_count()):
-            p_id = int(dag.edge_parent[e])
-            c_id = int(dag.edge_child[e])
-            if p_id == dag.root_id or c_id < dag.taxon_count:
-                continue
-            p_ss, c_ss = dag.nodes[p_id], dag.nodes[c_id]
-            if p_ss.union != union:
-                continue
-            if {*_three_clades(p_ss, c_ss)} == {*_three_clades(new_parent,
-                                                               new_child)}:
-                best_edge = e
-                break
+        for pre in neighboring_nnis(nni.parent, nni.child):
+            if dag.contains_edge(pre.parent, pre.child):
+                e = dag.get_edge_id(pre.parent, pre.child)
+                if best_edge is None or e < best_edge:
+                    best_edge = e
         if best_edge is None:
             return None
         tree = self.tp.top_tree(best_edge)

@@ -101,6 +101,73 @@ class TreeLikelihoodEngine:
                 self.site_pattern.tip_partials(), jnp.float32)
         return self._pallas_tips_cache
 
+    def _use_paired(self) -> bool:
+        """The paired-slot kernel (pallas_paired.py) serves CA multiples of
+        16 (bf16 sublane tiles); other shapes keep the original kernel."""
+        return (self.model.category_count * 4) % 16 == 0
+
+    def _paired_encoding(self, enc):
+        """Paired-slot tapes for an encoding, cached on the encoding object
+        (its lifetime matches the tapes' validity)."""
+        cache = getattr(enc, "_paired_cache", None)
+        if cache is None:
+            from . import pallas_paired
+
+            pe = pallas_paired.build_paired_encoding(enc)
+            cache = (
+                pe,
+                jnp.asarray(pe.post_dst), jnp.asarray(pe.tip_slot),
+                jnp.asarray(pe.post_src), jnp.asarray(pe.post_e),
+            )
+            enc._paired_cache = cache
+        return cache
+
+    def _paired_tiles(self, batch: int):
+        """(group, s_tile) for the paired gradient kernel: two interleaved
+        trees per instance when the batch allows it, with the pattern tile
+        capped so 2x (partials + scales + outside) scratch fits VMEM."""
+        group = 2 if batch % 2 == 0 else 1
+        tile = self._pallas_s_tile()
+        if group == 2 and tile > 512:
+            for t in (512, 256, 128):
+                if self.pattern_pad % t == 0:
+                    return group, t
+            return 1, tile
+        return group, tile
+
+    def _pallas_grad_call(self, enc, eig, rates, props, clock, bl):
+        """Dispatch one LL+branch-gradient evaluation through the selected
+        Pallas kernel (paired-slot when the category-state rows tile bf16
+        sublanes, the original kernel otherwise).  Traceable: safe to call
+        from inside a jitted sweep."""
+        from . import pallas_pruning
+
+        kargs = pallas_pruning.prepare_inputs_grad(
+            enc, self._pallas_tips(), self.site_pattern.weights,
+            eig, rates, props, clock, bl, self.pattern_pad)
+        interpret = self.kernel == "pallas_interpret"
+        if self._use_paired():
+            from . import pallas_paired
+
+            pe, pdst, ptip, psrc, ppost_e = self._paired_encoding(enc)
+            P_blk, dP_blk, tips_flat, pivec, propvec, w = kargs
+            group, s_tile = self._paired_tiles(enc.batch_size)
+            return pallas_paired.paired_ll_and_gradients(
+                pdst, ptip, psrc, ppost_e,
+                jnp.asarray(enc.edge_mask, jnp.float32),
+                P_blk, dP_blk, tips_flat, pivec, propvec, w,
+                M=pe.M, T=pe.num_taxa,
+                CA=self.model.category_count * 4,
+                n_pair_slots=pe.n_pair_slots, num_slots=enc.num_slots,
+                s_tile=s_tile, group=group, interpret=interpret)
+        return pallas_pruning.pallas_ll_and_gradients(
+            jnp.asarray(enc.post_ops), jnp.asarray(enc.pre_ops),
+            jnp.asarray(enc.root),
+            jnp.asarray(enc.edge_mask, jnp.float32), *kargs,
+            num_slots=enc.num_slots,
+            category_count=self.model.category_count,
+            s_tile=self._pallas_s_tile(), interpret=interpret)
+
     def _pallas_s_tile(self) -> int:
         # One whole-pad tile per tree wins on v5e when it fits VMEM
         # (bench: 31.8k vs 20.2k evals/s against s_tile=512).
@@ -225,6 +292,20 @@ class TreeLikelihoodEngine:
             kargs = pallas_pruning.prepare_inputs(
                 enc, self._pallas_tips(), self.site_pattern.weights,
                 eig, rates, props, clock, bl, self.pattern_pad)
+            if self._use_paired():
+                from . import pallas_paired
+
+                pe, pdst, ptip, _psrc, ppost_e = self._paired_encoding(enc)
+                P_blk, tips_flat, piprop, w = kargs
+                ll = pallas_paired.paired_log_likelihoods(
+                    pdst, ptip, P_blk, ppost_e, tips_flat, piprop, w,
+                    M=pe.M, T=pe.num_taxa,
+                    CA=self.model.category_count * 4,
+                    n_pair_slots=pe.n_pair_slots,
+                    s_tile=self._pallas_s_tile(),
+                    group=2 if len(trees) % 2 == 0 else 1,
+                    interpret=(self.kernel == "pallas_interpret"))
+                return ll.astype(self.dtype)
             ll = pallas_pruning.pallas_log_likelihoods(
                 jnp.asarray(enc.post_ops), jnp.asarray(enc.root), *kargs,
                 num_slots=enc.num_slots,
@@ -258,19 +339,8 @@ class TreeLikelihoodEngine:
               else self.branch_length_matrix(trees, enc))
         eig, rates, props, clock = self._model_ingredients(params, len(trees))
         if self._use_pallas(self._shared_model(params)):
-            from . import pallas_pruning
-
-            kargs = pallas_pruning.prepare_inputs_grad(
-                enc, self._pallas_tips(), self.site_pattern.weights,
-                eig, rates, props, clock, bl, self.pattern_pad)
-            ll, grads = pallas_pruning.pallas_ll_and_gradients(
-                jnp.asarray(enc.post_ops), jnp.asarray(enc.pre_ops),
-                jnp.asarray(enc.root),
-                jnp.asarray(enc.edge_mask, jnp.float32), *kargs,
-                num_slots=enc.num_slots,
-                category_count=self.model.category_count,
-                s_tile=self._pallas_s_tile(),
-                interpret=(self.kernel == "pallas_interpret"))
+            ll, grads = self._pallas_grad_call(enc, eig, rates, props,
+                                               clock, bl)
             return ll.astype(self.dtype), grads.astype(self.dtype)
         if self.use_leveled:
             lev = self.encode_leveled(trees)
@@ -302,26 +372,12 @@ class TreeLikelihoodEngine:
         enc = self.encode(trees)
         eig, rates, props, clock = self._model_ingredients(params, len(trees))
         if self._use_pallas(self._shared_model(params)):
-            from . import pallas_pruning
-
-            post_ops = jnp.asarray(enc.post_ops)
-            pre_ops = jnp.asarray(enc.pre_ops)
-            root = jnp.asarray(enc.root)
-            edge_mask = jnp.asarray(enc.edge_mask, jnp.float32)
-            tips = self._pallas_tips()
-            weights = self.site_pattern.weights
-            interpret = self.kernel == "pallas_interpret"
-            s_tile = self._pallas_s_tile()
+            if self._use_paired():
+                self._paired_encoding(enc)  # build the tapes outside jit
 
             def fn(bl):
-                kargs = pallas_pruning.prepare_inputs_grad(
-                    enc, tips, weights, eig, rates, props, clock, bl,
-                    self.pattern_pad)
-                ll, grads = pallas_pruning.pallas_ll_and_gradients(
-                    post_ops, pre_ops, root, edge_mask, *kargs,
-                    num_slots=enc.num_slots,
-                    category_count=self.model.category_count,
-                    s_tile=s_tile, interpret=interpret)
+                ll, grads = self._pallas_grad_call(enc, eig, rates, props,
+                                                   clock, bl)
                 return ll.astype(self.dtype), grads.astype(self.dtype)
 
             return fn
