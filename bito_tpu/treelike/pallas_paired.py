@@ -192,13 +192,6 @@ def assemble_dP_L(dP_blk, post_e):
                           _gather_P(dP_blk, post_e[:, :, 1]))
 
 
-def assemble_upt_L(P_blk, post_e):
-    """Transposed-evolve operand: blockdiag(P1^T, P2^T), hi/lo stacked."""
-    g1 = jnp.swapaxes(_gather_P(P_blk, post_e[:, :, 0]), -1, -2)
-    g2 = jnp.swapaxes(_gather_P(P_blk, post_e[:, :, 1]), -1, -2)
-    return _assemble_pair(g1, g2)
-
-
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
@@ -248,7 +241,7 @@ def _post_op(pdst_ref, Lpost_ref, bufh, bufl, ls, g, m, M, CA, rescale):
     ls[pl.ds(dst, 1), :] = new_ls
 
 
-def _pre_op(pdst_ref, psrc_ref, Lpost_ref, Ldp_ref, Lupt_ref,
+def _pre_op(pdst_ref, psrc_ref, Lpost_ref, Ldp_ref,
             grad_ref, bufh, bufl, w, propcol2,
             g, m, M, CA, NPg, rescale):
     """Outside pass for op m: both siblings' gradient rows + up pair.
@@ -283,11 +276,17 @@ def _pre_op(pdst_ref, psrc_ref, Lpost_ref, Ldp_ref, Lupt_ref,
     grad_ref[0, pl.ds(g * NPg + psrc_ref[0, idx, 1], 1), :] = w * num2 / den2
     # up pair: blockdiag(P1^T, P2^T) @ o, overwriting the now-dead pair
     # partials where each source's own op will read its outside value.
+    # The transposed operand is Lpost itself with the contraction on the
+    # row axis (blockdiag(A,B)^T = blockdiag(A^T,B^T), and hi/lo split
+    # commutes with transpose), so no third gathered tensor is needed.
     ohf, olf = _trunc_split(o)
-    Lt = Lupt_ref[0, idx]
-    bigu = _dot(Lt, ohf.astype(jnp.bfloat16))
-    crossu = _dot(Lt[0:2 * CA], olf.astype(jnp.bfloat16))
-    upv = bigu[0:2 * CA] + bigu[2 * CA:4 * CA] + crossu
+    oh = ohf.astype(jnp.bfloat16)
+    Lst = Lpost_ref[0, idx]
+    dgT = lambda a, b: jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    upv = (dgT(Lst[0:2 * CA], oh) + dgT(Lst[2 * CA:4 * CA], oh)
+           + dgT(Lst[0:2 * CA], olf.astype(jnp.bfloat16)))
     _split_store(bufh, bufl, 2 * m * CA, upv)
 
 
@@ -335,7 +334,7 @@ def _ll_kernel(pdst_ref, tip_ref, Lpost_ref, tipsb_ref, piprop_ref,
 
 
 def _grad_kernel(pdst_ref, tip_ref, psrc_ref,
-                 Lpost_ref, Ldp_ref, Lupt_ref,
+                 Lpost_ref, Ldp_ref,
                  tipsb_ref, pivec_ref, propvec_ref, w_ref,
                  ll_ref, grad_ref, *scratch, M, T, CA, NPg, G):
     ROOT = 2 * M
@@ -376,7 +375,7 @@ def _grad_kernel(pdst_ref, tip_ref, psrc_ref,
         for i in range(RESK - 1, -1, -1):
             for g in range(G):
                 bufh, bufl, ls = scratch[3 * g:3 * g + 3]
-                _pre_op(pdst_ref, psrc_ref, Lpost_ref, Ldp_ref, Lupt_ref,
+                _pre_op(pdst_ref, psrc_ref, Lpost_ref, Ldp_ref,
                         grad_ref, bufh, bufl, w, propcol2,
                         g, k * RESK + i, M, CA, NPg, i == 0)
         return 0
@@ -470,7 +469,6 @@ def paired_ll_and_gradients(
     NPg = _rup(num_slots + 1, 8)
     Lpost = assemble_post_L(P_blk, post_e)
     Ldp = assemble_dP_L(dP_blk, post_e)
-    Lupt = assemble_upt_L(P_blk, post_e)
     tipsb = _tips_bf16(tips_flat)
     w2 = weights.reshape(1, S)
     grid = (B // G, S // s_tile)
@@ -485,9 +483,6 @@ def paired_ll_and_gradients(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G * M, 2), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, G * M, 4 * CA, 2 * CA),
-                         lambda b, s: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G * M, 4 * CA, 2 * CA),
                          lambda b, s: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -524,7 +519,6 @@ def paired_ll_and_gradients(
       post_src.reshape(B // G, G * M, 2),
       Lpost.reshape(B // G, G * M, 4 * CA, 2 * CA),
       Ldp.reshape(B // G, G * M, 4 * CA, 2 * CA),
-      Lupt.reshape(B // G, G * M, 4 * CA, 2 * CA),
       tipsb, pivec, propvec, w2)
     ll_total = ll.reshape(B, S) @ weights
     grads = wgrad.reshape(B, NPg, S).sum(axis=2)[:, :num_slots] * edge_mask
