@@ -65,18 +65,298 @@ def jc69_transition_derivative(t: jnp.ndarray) -> jnp.ndarray:
 
 
 def _pad_stack(arrays: List[np.ndarray], pad_value: int,
-               dtype=np.int32) -> np.ndarray:
+               dtype=np.int32, width: int | None = None,
+               rows: int | None = None) -> np.ndarray:
     """Stack variable-length 1-D index arrays into [L, W] with padding.
 
-    Padding rows index dummy slots (node N / edge E) so a single traced
-    scan body serves every level — the XLA program size becomes
-    independent of the DAG's level count (vs the per-level python unroll,
-    whose first compile grew linearly with DAG depth)."""
-    W = max([len(a) for a in arrays] + [1])
-    out = np.full((len(arrays), W), pad_value, dtype=dtype)
+    Padding rows index dummy slots (node cap / edge cap) so a single traced
+    scan body serves every level — the XLA program size becomes independent
+    of the DAG's level count.  `width`/`rows` allow padding to capacity
+    buckets so program shapes stay stable across DAG growth."""
+    W = width if width is not None else max([len(a) for a in arrays] + [1])
+    L = rows if rows is not None else len(arrays)
+    out = np.full((L, W), pad_value, dtype=dtype)
     for i, a in enumerate(arrays):
         out[i, : len(a)] = a
     return out
+
+
+def _rup(x: int, m: int) -> int:
+    return -(-max(x, 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Wavefront programs (module-level, shared jit cache across engine
+# instances: every index tensor rides as a traced argument, so rebuilding
+# an engine — or growing its DAG — inside the same capacity bucket reuses
+# the compiled programs instead of recompiling per DAG epoch).
+# ---------------------------------------------------------------------------
+
+def _accumulate(plv, ls, edge, dest, src, src_plv, trans_all, q_ext,
+                dest_plv):
+    """Scatter-accumulate q-weighted evolved PLVs into fresh dest slots,
+    aligning per-site scales to the per-dest max.  Padding entries carry
+    q_ext[ecap] == 0 and dest == ncap, so they contribute zero and land in
+    the dummy slot."""
+    np1 = plv.shape[1]
+    S = plv.shape[-1]
+    dtype = plv.dtype
+    NEG = jnp.asarray(-jnp.inf, dtype)
+    src_vals = plv[src_plv, src]          # [K, 4, S]
+    src_ls = ls[src_plv, src]             # [K, S]
+    key = dest_plv * np1 + dest           # [K] flat (plv_type, node)
+    ls_max = jnp.full((6 * np1, S), NEG).at[key].max(src_ls)
+    factor = jnp.exp(src_ls - ls_max[key])
+    contrib = (
+        q_ext[edge][:, None, None]
+        * jnp.einsum("kab,kbs->kas", trans_all[edge], src_vals,
+                     precision=Precision)
+        * factor[:, None, :]
+    )
+    acc = jnp.zeros((6 * np1, 4, S), dtype).at[key].add(contrib)
+    return acc.reshape(6, np1, 4, S), jnp.where(
+        jnp.isfinite(ls_max), ls_max, 0.0
+    ).reshape(6, np1, S)
+
+
+def _write_levels(plv, ls, acc, acc_ls, plv_types, nodes):
+    for ptype in plv_types:
+        plv = plv.at[ptype, nodes].set(acc[ptype, nodes])
+        ls = ls.at[ptype, nodes].set(acc_ls[ptype, nodes])
+    return plv, ls
+
+
+def _multiply_rescale(plv, ls, dest, src1, src2, nodes):
+    prod = plv[src1, nodes] * plv[src2, nodes]
+    lsn = ls[src1, nodes] + ls[src2, nodes]
+    m = prod.max(axis=1)                  # [M, S]
+    m_safe = jnp.where(m > 0, m, 1.0)
+    plv = plv.at[dest, nodes].set(prod / m_safe[:, None, :])
+    ls = ls.at[dest, nodes].set(lsn + jnp.log(m_safe))
+    return plv, ls
+
+
+def _ext(blc, qc):
+    bl_ext = jnp.concatenate([blc, jnp.full((1,), DEFAULT_BL, blc.dtype)])
+    q_ext = jnp.concatenate([qc, jnp.zeros((1,), qc.dtype)])
+    return bl_ext, q_ext
+
+
+def _seed_rhat(plv, ls, q_ext, rootsplit_nodes, rootsplit_edges):
+    # Seed rootsplits' RHat with q * stationary (reference
+    # SetToStationaryDistribution, src/gp_engine.cpp:218).  Padded
+    # rootsplit entries carry edge ecap (q 0) and node ncap (dummy slot).
+    S = plv.shape[-1]
+    rhat_root = jnp.broadcast_to(
+        (q_ext[rootsplit_edges] * 0.25)[:, None, None],
+        (rootsplit_nodes.shape[0], 4, S),
+    )
+    plv = plv.at[RHAT, rootsplit_nodes].set(rhat_root)
+    ls = ls.at[RHAT, rootsplit_nodes].set(0.0)
+    return plv, ls
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("np1", "n_taxa"))
+def _populate_impl(idx, blc, qc, tips, *, np1, n_taxa):
+    bl_ext, q_ext = _ext(blc, qc)
+    trans = jc69_transition(bl_ext)       # [ecap+1, 4, 4]
+    S = tips.shape[-1]
+    dtype = blc.dtype
+    plv = jnp.zeros((6, np1, 4, S), dtype)
+    ls = jnp.zeros((6, np1, S), dtype)
+    plv = plv.at[P, :n_taxa].set(tips)
+    rw, lw = idx["rw"], idx["lw"]
+
+    def root_body(carry, lvl):
+        plv, ls = carry
+        dest_plv = jnp.where(lvl["side"], PHAT_LEFT, PHAT_RIGHT)
+        acc, acc_ls = _accumulate(plv, ls, lvl["edge"], lvl["dest"],
+                                  lvl["src"], lvl["src_plv"], trans,
+                                  q_ext, dest_plv)
+        plv, ls = _write_levels(plv, ls, acc, acc_ls,
+                                (PHAT_RIGHT, PHAT_LEFT), lvl["nodes"])
+        plv, ls = _multiply_rescale(plv, ls, P, PHAT_LEFT, PHAT_RIGHT,
+                                    lvl["nodes"])
+        return (plv, ls), None
+
+    if rw is not None:
+        (plv, ls), _ = jax.lax.scan(root_body, (plv, ls), rw)
+    plv, ls = _seed_rhat(plv, ls, q_ext, idx["rootsplit_nodes"],
+                         idx["rootsplit_edges"])
+
+    def leaf_body(carry, lvl):
+        plv, ls = carry
+        dest_plv = jnp.full_like(lvl["edge"], RHAT)
+        acc, acc_ls = _accumulate(plv, ls, lvl["edge"], lvl["dest"],
+                                  lvl["src"], lvl["src_plv"], trans,
+                                  q_ext, dest_plv)
+        plv, ls = _write_levels(plv, ls, acc, acc_ls, (RHAT,),
+                                lvl["acc_nodes"])
+        plv, ls = _multiply_rescale(plv, ls, RRIGHT, RHAT, PHAT_LEFT,
+                                    lvl["nodes"])
+        plv, ls = _multiply_rescale(plv, ls, RLEFT, RHAT, PHAT_RIGHT,
+                                    lvl["nodes"])
+        return (plv, ls), None
+
+    (plv, ls), _ = jax.lax.scan(leaf_body, (plv, ls), lw)
+    return plv, ls
+
+
+@jax.jit
+def _likelihoods_impl(idx, plv, ls, blc, qc, weights):
+    """Per-edge log likelihoods + per-site log marginal + total marginal
+    (reference GPDAG::ComputeLikelihoods + IncrementMarginalLikelihood).
+    Outputs are capacity-sized; padded edge rows are masked to zero and
+    padded rootsplit scatters are dropped."""
+    _, q_ext = _ext(blc, qc)
+    trans = jc69_transition(blc)
+    r = plv[idx["like_r_plv"], idx["like_parent"]]      # [ecap, 4, S]
+    lsr = ls[idx["like_r_plv"], idx["like_parent"]]
+    p = plv[P, idx["like_child"]]
+    lsp = ls[P, idx["like_child"]]
+    val = jnp.einsum("eas,eab,ebs->es", r, trans, p, precision=Precision)
+    rows = jnp.log(jnp.where(val > 0, val, 1e-300)) + lsr + lsp
+    per_edge = rows @ weights
+    rootsplit_nodes = idx["rootsplit_nodes"]
+    rootsplit_edges = idx["rootsplit_edges"]
+    r0 = plv[RHAT, rootsplit_nodes]
+    p0 = plv[P, rootsplit_nodes]
+    lsp0 = ls[P, rootsplit_nodes]
+    val0 = jnp.einsum("eas,eas->es", r0, p0, precision=Precision)
+    rows0 = jnp.log(jnp.where(val0 > 0, val0, 1e-300)) + lsp0
+    # Padded rootsplit rows gather the all-zero dummy slot -> rows0 ~ -690;
+    # their exp underflows to 0 in the logsumexp, leaving the marginal
+    # exact.
+    log_marginal_site = jax.scipy.special.logsumexp(rows0, axis=0)
+    per_edge_root = (
+        rows0 @ weights
+        - jnp.log(q_ext[rootsplit_edges]) * jnp.sum(weights)
+    )
+    per_edge = jnp.where(idx["like_mask"], per_edge, 0.0)
+    per_edge = per_edge.at[rootsplit_edges].set(per_edge_root, mode="drop")
+    return per_edge, log_marginal_site, log_marginal_site @ weights
+
+
+@_partial(jax.jit, static_argnames=("method",))
+def _sweep_impl(idx, plv, ls, blc, qc, weights, *, method):
+    """One leafward optimization sweep (tidy traversal levelized, scanned);
+    see GPEngine.optimize_branch_lengths_once."""
+    dtype = blc.dtype
+    bl_ext, q_ext = _ext(blc, qc)
+    plv, ls = _seed_rhat(plv, ls, q_ext, idx["rootsplit_nodes"],
+                         idx["rootsplit_edges"])
+    sweep = idx["sweep"]
+
+    def optimize_side(plv, bl_ext, edges, parents, children, r_plv, w):
+        """Batched per-edge 1-D optimization over one side's edges
+        (reference DAGBranchHandler::OptimizeBranchLength,
+        src/dag_branch_handler.cpp:123-285); padding rows optimize a flat
+        objective and scatter into the dummy bl slot."""
+        r = plv[r_plv, parents]               # [K, 4, S]
+        p = plv[P, children]
+
+        def ll_of_t(t):
+            trans = jc69_transition(t)        # [K, 4, 4]
+            val = jnp.einsum("kas,kab,kbs->ks", r, trans, p,
+                             precision=Precision)
+            return jnp.log(jnp.where(val > 0, val, 1e-300)) @ w
+
+        def ll_y(y):
+            return ll_of_t(jnp.exp(y))
+
+        def per_lane_grad(f, x):
+            return jax.jvp(f, (x,), (jnp.ones_like(x),))[1]
+
+        guess_x = bl_ext[edges]
+        lo = jnp.full(edges.shape, MIN_LOG_BL, dtype)
+        hi = jnp.full(edges.shape, MAX_LOG_BL, dtype)
+
+        if method in ("brent", "brent_with_gradients"):
+            y0 = jnp.log(guess_x)
+
+            def neg_ll(y):
+                return -ll_y(y)
+
+            y_opt = optimize.brent_minimize_batched(
+                neg_ll, y0, lo, hi, iterations=60,
+                use_gradients=(method == "brent_with_gradients"))
+            # Reset-if-worse guard (dag_branch_handler.cpp:143-150).
+            worse = neg_ll(y_opt) > neg_ll(y0)
+            x_new = jnp.where(worse, guess_x, jnp.exp(y_opt))
+        elif method == "gradient_ascent":
+            # The reference floors x at min_log_branch_length_ itself
+            # (dag_branch_handler.cpp:225-228) — replicated as-is.
+            def ffp(x):
+                return ll_of_t(x), per_lane_grad(ll_of_t, x)
+
+            x_new = optimize.gradient_ascent_batched(
+                ffp, guess_x, jnp.full_like(guess_x, MIN_LOG_BL))
+        elif method == "log_space_gradient_ascent":
+            def ffp(x):
+                return ll_of_t(x), per_lane_grad(ll_of_t, x)
+
+            x_new = optimize.log_space_gradient_ascent_batched(
+                ffp, guess_x,
+                jnp.full_like(guess_x, float(np.exp(MIN_LOG_BL))))
+        elif method == "newton":
+            def f3(y):
+                f = ll_y(y)
+                g = per_lane_grad(ll_y, y)
+                h = per_lane_grad(lambda z: per_lane_grad(ll_y, z), y)
+                return f, g, h
+
+            y_opt = optimize.newton_raphson_batched(
+                f3, jnp.log(guess_x), lo, hi)
+            x_new = jnp.exp(y_opt)
+        else:
+            raise ValueError(f"Unknown optimization method: {method!r}")
+        return bl_ext.at[edges].set(x_new)
+
+    def rebuild_phat(plv, ls, bl_ext, q_ext, edge, dest, src, ptype, nodes):
+        trans = jc69_transition(bl_ext)
+        acc, acc_ls = _accumulate(plv, ls, edge, dest, src,
+                                  jnp.full_like(edge, P), trans, q_ext,
+                                  jnp.full_like(edge, ptype))
+        return _write_levels(plv, ls, acc, acc_ls, (ptype,), nodes)
+
+    def body(carry, lvl):
+        plv, ls, bl_ext = carry
+        trans = jc69_transition(bl_ext)
+        dest_plv = jnp.full_like(lvl["edge"], RHAT)
+        acc, acc_ls = _accumulate(plv, ls, lvl["edge"], lvl["dest"],
+                                  lvl["src"], lvl["src_plv"], trans,
+                                  q_ext, dest_plv)
+        plv, ls = _write_levels(plv, ls, acc, acc_ls, (RHAT,),
+                                lvl["acc_nodes"])
+        # Right side: RRight = RHat o PHatLeft, optimize, rebuild.
+        plv, ls = _multiply_rescale(plv, ls, RRIGHT, RHAT, PHAT_LEFT,
+                                    lvl["nodes"])
+        bl_ext = optimize_side(plv, bl_ext, lvl["r_edge"],
+                               lvl["r_parent"], lvl["r_child"],
+                               RRIGHT, weights)
+        plv, ls = rebuild_phat(plv, ls, bl_ext, q_ext,
+                               lvl["reb_r_edge"], lvl["reb_r_dest"],
+                               lvl["reb_r_src"], PHAT_RIGHT,
+                               lvl["internal"])
+        # Left side.
+        plv, ls = _multiply_rescale(plv, ls, RLEFT, RHAT, PHAT_RIGHT,
+                                    lvl["nodes"])
+        bl_ext = optimize_side(plv, bl_ext, lvl["l_edge"],
+                               lvl["l_parent"], lvl["l_child"],
+                               RLEFT, weights)
+        plv, ls = rebuild_phat(plv, ls, bl_ext, q_ext,
+                               lvl["reb_l_edge"], lvl["reb_l_dest"],
+                               lvl["reb_l_src"], PHAT_LEFT,
+                               lvl["internal"])
+        plv, ls = _multiply_rescale(plv, ls, P, PHAT_LEFT, PHAT_RIGHT,
+                                    lvl["internal"])
+        return (plv, ls, bl_ext), None
+
+    (plv, ls, bl_ext), _ = jax.lax.scan(body, (plv, ls, bl_ext), sweep)
+    return plv, ls, bl_ext[:-1]
 
 
 class GPEngine:
@@ -101,198 +381,109 @@ class GPEngine:
         self.inverted_sbn_prior = dag.inverted_gpcsp_probabilities(
             self.sbn_prior, node_probs
         )
-        # Mutable engine state
-        self.q = jnp.asarray(self.sbn_prior, dtype=self.dtype)
-        self.branch_lengths = jnp.full(
-            (self.schedule.edge_count,), DEFAULT_BL, dtype=self.dtype
-        )
-        self.branch_length_differences = jnp.zeros_like(self.branch_lengths)
+        # Mutable engine state.  Branch lengths and q live at CAPACITY
+        # size (padded to the bucket) so every jitted program sees stable
+        # shapes across DAG growth; the public `branch_lengths` / `q`
+        # properties expose true-size views.
+        self._caps: Dict[str, int] = {}
+        self._prepare_index_arrays()
+        E = self.schedule.edge_count
+        ecap = self._caps["e"]
+        self._qc = jnp.zeros((ecap,), self.dtype).at[:E].set(
+            jnp.asarray(self.sbn_prior, dtype=self.dtype))
+        self._blc = jnp.full((ecap,), DEFAULT_BL, dtype=self.dtype)
+        self.branch_length_differences = jnp.zeros((E,), self.dtype)
         self.plv: Optional[jnp.ndarray] = None
         self.ls: Optional[jnp.ndarray] = None
         self.per_edge_ll: Optional[jnp.ndarray] = None
         self.log_marginal_site: Optional[jnp.ndarray] = None
-        self.hybrid_marginal_log_likelihoods = np.full(
-            self.schedule.edge_count, -np.inf
-        )
-        self._build_programs()
+        self.hybrid_marginal_log_likelihoods = np.full(E, -np.inf)
 
     # ------------------------------------------------------------------
-    # program construction (closures over the static schedule arrays)
+    # capacity-sized state views
     # ------------------------------------------------------------------
-    def _build_programs(self):
+    @property
+    def branch_lengths(self):
+        return self._blc[: self.schedule.edge_count]
+
+    @branch_lengths.setter
+    def branch_lengths(self, value):
+        value = jnp.asarray(value, dtype=self.dtype)
+        if value.shape[0] == self._blc.shape[0]:
+            self._blc = value
+        else:
+            self._blc = self._blc.at[: value.shape[0]].set(value)
+
+    @property
+    def q(self):
+        return self._qc[: self.schedule.edge_count]
+
+    @q.setter
+    def q(self, value):
+        value = jnp.asarray(value, dtype=self.dtype)
+        if value.shape[0] == self._qc.shape[0]:
+            self._qc = value
+        else:
+            self._qc = self._qc.at[: value.shape[0]].set(value)
+
+    # ------------------------------------------------------------------
+    # index-tensor preparation (host work; compiled programs are the
+    # module-level _populate_impl/_likelihoods_impl/_sweep_impl and are
+    # reused whenever the capacity bucket — hence every shape — matches)
+    # ------------------------------------------------------------------
+    def _prepare_index_arrays(self):
         sch = self.schedule
-        N = sch.node_count
-        Np1 = N + 1                     # slot N is the dummy (padding) node
-        E = sch.edge_count              # slot E is the dummy (padding) edge
-        n_taxa = sch.taxon_count
-        S = self.S
-        dtype = self.dtype
-        NEG = jnp.asarray(-jnp.inf, dtype)
+        caps = self._caps
+        N, E, R = sch.node_count, sch.edge_count, len(sch.rootsplit_nodes)
 
-        def accumulate(plv, ls, edge, dest, src, src_plv, trans_all, q_ext,
-                       dest_plv):
-            """Scatter-accumulate q-weighted evolved PLVs into fresh dest
-            slots, aligning per-site scales to the per-dest max.  Padding
-            entries carry q_ext[E] == 0 and dest == N, so they contribute
-            zero and land in the dummy slot."""
-            src_vals = plv[src_plv, src]          # [K, 4, S]
-            src_ls = ls[src_plv, src]             # [K, S]
-            key = dest_plv * Np1 + dest           # [K] flat (plv_type, node)
-            ls_max = jnp.full((6 * Np1, S), NEG).at[key].max(src_ls)
-            factor = jnp.exp(src_ls - ls_max[key])
-            contrib = (
-                q_ext[edge][:, None, None]
-                * jnp.einsum("kab,kbs->kas", trans_all[edge], src_vals,
-                             precision=Precision)
-                * factor[:, None, :]
-            )
-            acc = jnp.zeros((6 * Np1, 4, S), dtype).at[key].add(contrib)
-            return acc.reshape(6, Np1, 4, S), jnp.where(
-                jnp.isfinite(ls_max), ls_max, 0.0
-            ).reshape(6, Np1, S)
+        def need(key, value):
+            caps[key] = max(caps.get(key, 0), value)
 
-        def write_levels(plv, ls, acc, acc_ls, plv_types, nodes):
-            for ptype in plv_types:
-                plv = plv.at[ptype, nodes].set(acc[ptype, nodes])
-                ls = ls.at[ptype, nodes].set(acc_ls[ptype, nodes])
-            return plv, ls
+        need("n", _rup(N, 32))
+        need("e", _rup(E, 64))
+        need("r", _rup(R, 8))
+        need("Lr", _rup(len(sch.rootward), 2))
+        need("Ll", _rup(len(sch.leafward), 2))
+        need("Kr", _rup(max((len(l.edge) for l in sch.rootward),
+                            default=1), 16))
+        need("Kl", _rup(max((len(l.edge) for l in sch.leafward),
+                            default=1), 16))
+        need("Mr", _rup(max((len(l.nodes) for l in sch.rootward),
+                            default=1), 16))
+        need("Ml", _rup(max((len(l.nodes) for l in sch.leafward),
+                            default=1), 16))
+        ncap, ecap = caps["n"], caps["e"]
 
-        def multiply_rescale(plv, ls, dest, src1, src2, nodes):
-            prod = plv[src1, nodes] * plv[src2, nodes]
-            lsn = ls[src1, nodes] + ls[src2, nodes]
-            m = prod.max(axis=1)                  # [M, S]
-            m_safe = jnp.where(m > 0, m, 1.0)
-            plv = plv.at[dest, nodes].set(prod / m_safe[:, None, :])
-            ls = ls.at[dest, nodes].set(lsn + jnp.log(m_safe))
-            return plv, ls
-
-        rootsplit_nodes = jnp.asarray(sch.rootsplit_nodes)
-        rootsplit_edges = jnp.asarray(sch.rootsplit_edges)
-
-        # -- stacked (padded) per-level index tensors ----------------------
-        # One lax.scan body serves every level; the traced program size is
-        # independent of DAG depth (the per-level unroll compiled in O(depth)
-        # and took minutes on deep DAGs).
-        def stack_entries(levels: List[LevelEntries]):
+        def stack_entries(levels, L, K, M):
             return dict(
-                edge=jnp.asarray(_pad_stack([l.edge for l in levels], E)),
-                dest=jnp.asarray(_pad_stack([l.dest for l in levels], N)),
+                edge=jnp.asarray(_pad_stack([l.edge for l in levels], ecap,
+                                            width=K, rows=L)),
+                dest=jnp.asarray(_pad_stack([l.dest for l in levels], ncap,
+                                            width=K, rows=L)),
                 side=jnp.asarray(_pad_stack(
-                    [l.dest_side.astype(np.int32) for l in levels], 0)),
-                src=jnp.asarray(_pad_stack([l.src for l in levels], N)),
-                src_plv=jnp.asarray(_pad_stack([l.src_plv for l in levels],
-                                               0)),
-                nodes=jnp.asarray(_pad_stack([l.nodes for l in levels], N)),
+                    [l.dest_side.astype(np.int32) for l in levels], 0,
+                    width=K, rows=L)),
+                src=jnp.asarray(_pad_stack([l.src for l in levels], ncap,
+                                           width=K, rows=L)),
+                src_plv=jnp.asarray(_pad_stack(
+                    [l.src_plv for l in levels], 0, width=K, rows=L)),
+                nodes=jnp.asarray(_pad_stack([l.nodes for l in levels],
+                                             ncap, width=M, rows=L)),
             )
 
-        rw = stack_entries(sch.rootward) if sch.rootward else None
-        lw = stack_entries(sch.leafward)
+        rw = (stack_entries(sch.rootward, caps["Lr"], caps["Kr"], caps["Mr"])
+              if sch.rootward else None)
+        lw = stack_entries(sch.leafward, caps["Ll"], caps["Kl"], caps["Ml"])
         # Leafward level 0 (the rootsplits) receives no accumulation: its
         # RHat is seeded from the stationary distribution, so its acc write
         # targets only the dummy node.
         lw["acc_nodes"] = jnp.asarray(_pad_stack(
             [np.zeros(0, dtype=np.int32)]
-            + [l.nodes for l in sch.leafward[1:]], N,
+            + [l.nodes for l in sch.leafward[1:]], ncap,
+            width=caps["Ml"], rows=caps["Ll"],
         ))
 
-        def ext(bl, q):
-            bl_ext = jnp.concatenate(
-                [bl, jnp.full((1,), DEFAULT_BL, dtype)]
-            )
-            q_ext = jnp.concatenate([q, jnp.zeros((1,), dtype)])
-            return bl_ext, q_ext
-
-        def seed_rhat(plv, ls, q):
-            # Seed rootsplits' RHat with q * stationary (reference
-            # SetToStationaryDistribution, src/gp_engine.cpp:218).
-            rhat_root = jnp.broadcast_to(
-                (q[rootsplit_edges] * 0.25)[:, None, None],
-                (len(sch.rootsplit_nodes), 4, S),
-            )
-            plv = plv.at[RHAT, rootsplit_nodes].set(rhat_root)
-            ls = ls.at[RHAT, rootsplit_nodes].set(0.0)
-            return plv, ls
-
-        def populate(bl, q, tips):
-            bl_ext, q_ext = ext(bl, q)
-            trans = jc69_transition(bl_ext)       # [E+1, 4, 4]
-            plv = jnp.zeros((6, Np1, 4, S), dtype)
-            ls = jnp.zeros((6, Np1, S), dtype)
-            plv = plv.at[P, :n_taxa].set(tips)
-
-            # Rootward: phat accumulation + P multiply per level.
-            def root_body(carry, lvl):
-                plv, ls = carry
-                dest_plv = jnp.where(lvl["side"], PHAT_LEFT, PHAT_RIGHT)
-                acc, acc_ls = accumulate(plv, ls, lvl["edge"], lvl["dest"],
-                                         lvl["src"], lvl["src_plv"], trans,
-                                         q_ext, dest_plv)
-                plv, ls = write_levels(plv, ls, acc, acc_ls,
-                                       (PHAT_RIGHT, PHAT_LEFT), lvl["nodes"])
-                plv, ls = multiply_rescale(plv, ls, P, PHAT_LEFT, PHAT_RIGHT,
-                                           lvl["nodes"])
-                return (plv, ls), None
-
-            if rw is not None:
-                (plv, ls), _ = jax.lax.scan(root_body, (plv, ls), rw)
-            plv, ls = seed_rhat(plv, ls, q)
-
-            def leaf_body(carry, lvl):
-                plv, ls = carry
-                dest_plv = jnp.full_like(lvl["edge"], RHAT)
-                acc, acc_ls = accumulate(plv, ls, lvl["edge"], lvl["dest"],
-                                         lvl["src"], lvl["src_plv"], trans,
-                                         q_ext, dest_plv)
-                plv, ls = write_levels(plv, ls, acc, acc_ls, (RHAT,),
-                                       lvl["acc_nodes"])
-                plv, ls = multiply_rescale(plv, ls, RRIGHT, RHAT, PHAT_LEFT,
-                                           lvl["nodes"])
-                plv, ls = multiply_rescale(plv, ls, RLEFT, RHAT, PHAT_RIGHT,
-                                           lvl["nodes"])
-                return (plv, ls), None
-
-            (plv, ls), _ = jax.lax.scan(leaf_body, (plv, ls), lw)
-            return plv, ls
-
-        like_parent = jnp.asarray(sch.like_parent)
-        like_r_plv = jnp.asarray(sch.like_r_plv)
-        like_child = jnp.asarray(sch.like_child)
-        like_mask = jnp.asarray(sch.like_mask)
-
-        def likelihoods(plv, ls, bl, q, weights):
-            """Per-edge log likelihoods + per-site log marginal + total
-            marginal (reference GPDAG::ComputeLikelihoods +
-            IncrementMarginalLikelihood)."""
-            trans = jc69_transition(bl)
-            r = plv[like_r_plv, like_parent]      # [E, 4, S]
-            lsr = ls[like_r_plv, like_parent]
-            p = plv[P, like_child]
-            lsp = ls[P, like_child]
-            val = jnp.einsum("eas,eab,ebs->es", r, trans, p,
-                             precision=Precision)
-            rows = jnp.log(jnp.where(val > 0, val, 1e-300)) + lsr + lsp
-            per_edge = rows @ weights
-            # Rootsplit edges: no transition matrix; RHat = q*pi at the same
-            # node; conditional rows subtract log q.
-            r0 = plv[RHAT, rootsplit_nodes]
-            p0 = plv[P, rootsplit_nodes]
-            lsp0 = ls[P, rootsplit_nodes]
-            val0 = jnp.einsum("eas,eas->es", r0, p0, precision=Precision)
-            rows0 = jnp.log(jnp.where(val0 > 0, val0, 1e-300)) + lsp0
-            log_marginal_site = jax.scipy.special.logsumexp(rows0, axis=0)
-            per_edge_root = (
-                rows0 @ weights
-                - jnp.log(q[rootsplit_edges]) * jnp.sum(weights)
-            )
-            per_edge = jnp.where(like_mask, per_edge, 0.0)
-            per_edge = per_edge.at[rootsplit_edges].set(per_edge_root)
-            return per_edge, log_marginal_site, log_marginal_site @ weights
-
-        # -- optimization sweep (tidy traversal levelized, scanned) -------
-        # Per leafward level, static index groups: the optimizable edges of
-        # each side (parent at this level, child anywhere below) and the
-        # phat-rebuild entries of the level's internal nodes.
-        sweep = dict(lw)  # reuse the leafward acc entries / nodes / acc_nodes
+        # -- optimization sweep columns (tidy traversal, levelized) -------
         opt_cols: Dict[str, List[np.ndarray]] = {
             k: [] for k in ("r_edge", "r_parent", "r_child",
                             "l_edge", "l_parent", "l_child",
@@ -319,7 +510,6 @@ class GPEngine:
                     np.asarray(parents, dtype=np.int32))
                 opt_cols[f"{tag}_child"].append(
                     np.asarray(children, dtype=np.int32))
-                # Rebuild entries: this side's phat of the internal nodes.
                 re_e, re_d, re_s = [], [], []
                 for u in internal.tolist():
                     for c, e in self.dag.leafward[u][side]:
@@ -332,133 +522,120 @@ class GPEngine:
                     np.asarray(re_d, dtype=np.int32))
                 opt_cols[f"reb_{tag}_src"].append(
                     np.asarray(re_s, dtype=np.int32))
-        pad_of = {"edge": E, "parent": N, "child": N, "dest": N, "src": N,
-                  "internal": N}
+        pad_of = {"edge": ecap, "parent": ncap, "child": ncap,
+                  "dest": ncap, "src": ncap, "internal": ncap}
+        sweep = dict(lw)
         for k, cols in opt_cols.items():
-            sweep[k] = jnp.asarray(_pad_stack(cols, pad_of[k.split("_")[-1]]))
+            kind = k.split("_")[-1]
+            ck = f"Ko_{k}"
+            need(ck, _rup(max((len(c) for c in cols), default=1), 16))
+            sweep[k] = jnp.asarray(_pad_stack(
+                cols, pad_of[kind], width=caps[ck], rows=caps["Ll"]))
 
-        method = self.optimization_method
+        rs_nodes = _pad_stack([sch.rootsplit_nodes], ncap,
+                              width=caps["r"])[0]
+        rs_edges = _pad_stack([sch.rootsplit_edges], ecap,
+                              width=caps["r"])[0]
+        like_parent = np.full(ecap, ncap, dtype=np.int32)
+        like_parent[:E] = sch.like_parent
+        like_r_plv = np.zeros(ecap, dtype=np.int32)
+        like_r_plv[:E] = sch.like_r_plv
+        like_child = np.full(ecap, ncap, dtype=np.int32)
+        like_child[:E] = sch.like_child
+        like_mask = np.zeros(ecap, dtype=bool)
+        like_mask[:E] = sch.like_mask
 
-        def optimize_side(plv, bl_ext, edges, parents, children, r_plv, w):
-            """Batched per-edge 1-D optimization over one side's edges,
-            dispatching on the engine's optimization method (reference
-            DAGBranchHandler::OptimizeBranchLength,
-            src/dag_branch_handler.cpp:123-285); padding rows optimize a
-            flat objective and scatter into the dummy bl slot."""
-            r = plv[r_plv, parents]               # [K, 4, S]
-            p = plv[P, children]
+        self._idx = dict(
+            rw=rw, lw=lw, sweep=sweep,
+            rootsplit_nodes=jnp.asarray(rs_nodes),
+            rootsplit_edges=jnp.asarray(rs_edges),
+            like_parent=jnp.asarray(like_parent),
+            like_r_plv=jnp.asarray(like_r_plv),
+            like_child=jnp.asarray(like_child),
+            like_mask=jnp.asarray(like_mask),
+        )
+        self._np1 = ncap + 1
 
-            def ll_of_t(t):
-                trans = jc69_transition(t)        # [K, 4, 4]
-                val = jnp.einsum("kas,kab,kbs->ks", r, trans, p,
-                                 precision=Precision)
-                return jnp.log(jnp.where(val > 0, val, 1e-300)) @ w
+    # ------------------------------------------------------------------
+    # incremental growth (reference GPEngine::GrowPLVs / GrowGPCSPs with
+    # reindexing, src/gp_engine.cpp:64-209): the engine keeps its compiled
+    # programs (capacity buckets -> stable shapes, module-level jit cache),
+    # carries branch lengths by PCSP and PLVs by subsplit, and only the
+    # host-side index tensors are rebuilt.
+    # ------------------------------------------------------------------
+    def grow(self, new_dag: SubsplitDAG, mods=None):
+        """Grow the engine onto `new_dag`.  Pass the ModificationResult as
+        `mods` when `new_dag` is the SAME object mutated in place
+        (dag.add_node_pair); otherwise carry maps come from the old DAG's
+        subsplit/PCSP indexers."""
+        old_dag = self.dag
+        if mods is None:
+            assert new_dag is not old_dag, (
+                "in-place DAG mutation: pass the ModificationResult so the "
+                "engine can reindex (the old id maps are gone)")
+            old_node_of = old_dag.subsplit_to_id
+            old_edge_of = old_dag.build_edge_indexer()
+        old_blc = self._blc
+        old_plv, old_ls = self.plv, self.ls
+        old_np1 = self._np1
 
-            def ll_y(y):
-                return ll_of_t(jnp.exp(y))
-
-            def per_lane_grad(f, x):
-                return jax.jvp(f, (x,), (jnp.ones_like(x),))[1]
-
-            guess_x = bl_ext[edges]
-            lo = jnp.full(edges.shape, MIN_LOG_BL, dtype)
-            hi = jnp.full(edges.shape, MAX_LOG_BL, dtype)
-
-            if method in ("brent", "brent_with_gradients"):
-                y0 = jnp.log(guess_x)
-
-                def neg_ll(y):
-                    return -ll_y(y)
-
-                y_opt = optimize.brent_minimize_batched(
-                    neg_ll, y0, lo, hi, iterations=60,
-                    use_gradients=(method == "brent_with_gradients"))
-                # Reset-if-worse guard (dag_branch_handler.cpp:143-150).
-                worse = neg_ll(y_opt) > neg_ll(y0)
-                x_new = jnp.where(worse, guess_x, jnp.exp(y_opt))
-            elif method == "gradient_ascent":
-                # The reference floors x at min_log_branch_length_ itself
-                # (dag_branch_handler.cpp:225-228) — replicated as-is.
-                def ffp(x):
-                    return ll_of_t(x), per_lane_grad(ll_of_t, x)
-
-                x_new = optimize.gradient_ascent_batched(
-                    ffp, guess_x, jnp.full_like(guess_x, MIN_LOG_BL))
-            elif method == "log_space_gradient_ascent":
-                def ffp(x):
-                    return ll_of_t(x), per_lane_grad(ll_of_t, x)
-
-                x_new = optimize.log_space_gradient_ascent_batched(
-                    ffp, guess_x,
-                    jnp.full_like(guess_x, float(np.exp(MIN_LOG_BL))))
-            elif method == "newton":
-                def f3(y):
-                    f = ll_y(y)
-                    g = per_lane_grad(ll_y, y)
-                    h = per_lane_grad(lambda z: per_lane_grad(ll_y, z), y)
-                    return f, g, h
-
-                y_opt = optimize.newton_raphson_batched(
-                    f3, jnp.log(guess_x), lo, hi)
-                x_new = jnp.exp(y_opt)
+        self.dag = new_dag
+        self.schedule = build_schedule(new_dag)
+        E = self.schedule.edge_count
+        self.sbn_prior = new_dag.build_uniform_on_topological_support_prior()
+        node_probs = new_dag.unconditional_node_probabilities(self.sbn_prior)
+        self.unconditional_node_probabilities = node_probs[
+            : new_dag.node_count_without_dag_root()
+        ]
+        self.inverted_sbn_prior = new_dag.inverted_gpcsp_probabilities(
+            self.sbn_prior, node_probs
+        )
+        self._prepare_index_arrays()
+        ecap = self._caps["e"]
+        # Branch lengths carry over by PCSP; q restarts from the new prior
+        # (the reference re-derives the prior on growth too).
+        bl = np.full(ecap, DEFAULT_BL)
+        old_bl_host = np.asarray(old_blc)
+        if mods is not None:
+            bl[mods.edge_reindexer] = old_bl_host[
+                : len(mods.edge_reindexer)]
+        else:
+            new_edge_of = new_dag.build_edge_indexer()
+            for pcsp, e_new in new_edge_of.items():
+                e_old = old_edge_of.get(pcsp)
+                if e_old is not None:
+                    bl[e_new] = old_bl_host[e_old]
+        self._blc = jnp.asarray(bl, dtype=self.dtype)
+        self._qc = jnp.zeros((ecap,), self.dtype).at[:E].set(
+            jnp.asarray(self.sbn_prior, dtype=self.dtype))
+        self.branch_length_differences = jnp.zeros((E,), self.dtype)
+        self.hybrid_marginal_log_likelihoods = np.full(E, -np.inf)
+        # PLV carry-over by subsplit identity: surviving nodes keep their
+        # values bit-for-bit (new/changed nodes start zeroed and are filled
+        # by the next populate).
+        if old_plv is not None:
+            if mods is not None:
+                old_ids_np = np.arange(len(mods.node_reindexer),
+                                       dtype=np.int32)
+                new_ids_np = np.asarray(mods.node_reindexer, dtype=np.int32)
+                keep = old_ids_np < old_np1 - 1
+                old_ids_np, new_ids_np = old_ids_np[keep], new_ids_np[keep]
             else:
-                raise ValueError(
-                    f"Unknown optimization method: {method!r}")
-            return bl_ext.at[edges].set(x_new)
-
-        def rebuild_phat(plv, ls, bl_ext, q_ext, edge, dest, src, ptype,
-                         nodes):
-            """Recompute one phat side for `nodes` from current bl."""
-            trans = jc69_transition(bl_ext)
-            acc, acc_ls = accumulate(plv, ls, edge, dest, src,
-                                     jnp.full_like(edge, P), trans, q_ext,
-                                     jnp.full_like(edge, ptype))
-            return write_levels(plv, ls, acc, acc_ls, (ptype,), nodes)
-
-        def optimization_sweep(plv, ls, bl, q, weights):
-            bl_ext, q_ext = ext(bl, q)
-            plv, ls = seed_rhat(plv, ls, q)
-
-            def body(carry, lvl):
-                plv, ls, bl_ext = carry
-                trans = jc69_transition(bl_ext)
-                dest_plv = jnp.full_like(lvl["edge"], RHAT)
-                acc, acc_ls = accumulate(plv, ls, lvl["edge"], lvl["dest"],
-                                         lvl["src"], lvl["src_plv"], trans,
-                                         q_ext, dest_plv)
-                plv, ls = write_levels(plv, ls, acc, acc_ls, (RHAT,),
-                                       lvl["acc_nodes"])
-                # Right side: RRight = RHat o PHatLeft, optimize, rebuild.
-                plv, ls = multiply_rescale(plv, ls, RRIGHT, RHAT, PHAT_LEFT,
-                                           lvl["nodes"])
-                bl_ext = optimize_side(plv, bl_ext, lvl["r_edge"],
-                                       lvl["r_parent"], lvl["r_child"],
-                                       RRIGHT, weights)
-                plv, ls = rebuild_phat(plv, ls, bl_ext, q_ext,
-                                       lvl["reb_r_edge"], lvl["reb_r_dest"],
-                                       lvl["reb_r_src"], PHAT_RIGHT,
-                                       lvl["internal"])
-                # Left side.
-                plv, ls = multiply_rescale(plv, ls, RLEFT, RHAT, PHAT_RIGHT,
-                                           lvl["nodes"])
-                bl_ext = optimize_side(plv, bl_ext, lvl["l_edge"],
-                                       lvl["l_parent"], lvl["l_child"],
-                                       RLEFT, weights)
-                plv, ls = rebuild_phat(plv, ls, bl_ext, q_ext,
-                                       lvl["reb_l_edge"], lvl["reb_l_dest"],
-                                       lvl["reb_l_src"], PHAT_LEFT,
-                                       lvl["internal"])
-                plv, ls = multiply_rescale(plv, ls, P, PHAT_LEFT, PHAT_RIGHT,
-                                           lvl["internal"])
-                return (plv, ls, bl_ext), None
-
-            (plv, ls, bl_ext), _ = jax.lax.scan(body, (plv, ls, bl_ext),
-                                                sweep)
-            return plv, ls, bl_ext[:E]
-
-        self._populate = jax.jit(populate)
-        self._likelihoods = jax.jit(likelihoods)
-        self._optimization_sweep = jax.jit(optimization_sweep)
+                new_ids_np, old_ids_np = [], []
+                for new_id, ss in enumerate(new_dag.nodes):
+                    old_id = old_node_of.get(ss.to_string())
+                    if old_id is not None and old_id < old_np1 - 1:
+                        new_ids_np.append(new_id)
+                        old_ids_np.append(old_id)
+            new_ids = jnp.asarray(np.asarray(new_ids_np, dtype=np.int32))
+            old_ids = jnp.asarray(np.asarray(old_ids_np, dtype=np.int32))
+            S = old_plv.shape[-1]
+            plv = jnp.zeros((6, self._np1, 4, S), self.dtype)
+            ls = jnp.zeros((6, self._np1, S), self.dtype)
+            self.plv = plv.at[:, new_ids].set(old_plv[:, old_ids])
+            self.ls = ls.at[:, new_ids].set(old_ls[:, old_ids])
+        self.per_edge_ll = None
+        self.log_marginal_site = None
 
     # ------------------------------------------------------------------
     # public API (mirroring reference GPEngine / GPInstance verbs)
@@ -494,23 +671,24 @@ class GPEngine:
         self.weights = multihost.place(
             jnp.asarray(weights, dtype=self.dtype), mesh,
             PartitionSpec(axis))
-        # Stale per-pattern state; programs close over tips/weights/S.
+        # Stale per-pattern state; the module-level programs retrace on
+        # the new tip/weight shardings automatically.
         self.plv = None
         self.ls = None
         self.per_edge_ll = None
         self.log_marginal_site = None
-        self._build_programs()
 
     def populate_plvs(self):
-        self.plv, self.ls = self._populate(self.branch_lengths, self.q,
-                                           self.tips)
+        self.plv, self.ls = _populate_impl(
+            self._idx, self._blc, self._qc, self.tips,
+            np1=self._np1, n_taxa=self.schedule.taxon_count)
 
     def compute_likelihoods(self):
         assert self.plv is not None, "Call populate_plvs first"
-        (self.per_edge_ll, self.log_marginal_site,
-         self._log_marginal) = self._likelihoods(
-            self.plv, self.ls, self.branch_lengths, self.q, self.weights
-        )
+        per_edge, self.log_marginal_site, self._log_marginal = (
+            _likelihoods_impl(self._idx, self.plv, self.ls, self._blc,
+                              self._qc, self.weights))
+        self.per_edge_ll = per_edge[: self.schedule.edge_count]
 
     def log_marginal_likelihood(self) -> float:
         """Reference GPEngine::GetLogMarginalLikelihood: per-site log
@@ -529,17 +707,15 @@ class GPEngine:
 
     def set_optimization_method(self, method: str):
         """Reference GPEngine::SetOptimizationMethod
-        (src/gp_engine.cpp:656-658).  Switching methods changes the traced
-        compute path, so the wavefront programs are rebuilt (one recompile
-        per distinct method)."""
+        (src/gp_engine.cpp:656-658)."""
         valid = ("brent", "brent_with_gradients", "gradient_ascent",
                  "log_space_gradient_ascent", "newton")
         if method not in valid:
             raise ValueError(f"Unknown optimization method {method!r}; "
                              f"expected one of {valid}")
-        if method != self.optimization_method:
-            self.optimization_method = method
-            self._build_programs()
+        # The method rides as a static jit argument of the sweep program,
+        # so switching costs at most one compile per (method, bucket).
+        self.optimization_method = method
 
     def use_gradient_optimization(self, use_gradients: bool = True):
         """Reference GPEngine::UseGradientOptimization
@@ -549,11 +725,12 @@ class GPEngine:
             "brent_with_gradients" if use_gradients else "brent")
 
     def optimize_branch_lengths_once(self):
-        old = self.branch_lengths
-        self.plv, self.ls, self.branch_lengths = self._optimization_sweep(
-            self.plv, self.ls, self.branch_lengths, self.q, self.weights
-        )
-        self.branch_length_differences = jnp.abs(self.branch_lengths - old)
+        E = self.schedule.edge_count
+        old = self._blc
+        self.plv, self.ls, self._blc = _sweep_impl(
+            self._idx, self.plv, self.ls, self._blc, self._qc,
+            self.weights, method=self.optimization_method)
+        self.branch_length_differences = jnp.abs(self._blc - old)[:E]
 
     def estimate_branch_lengths(self, tol: float, max_iter: int,
                                 quiet: bool = True) -> float:

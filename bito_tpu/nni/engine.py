@@ -505,12 +505,11 @@ class GPScoredNNIEngine(NNIEngine):
     def _rebuild_engines(self):
         super()._rebuild_engines()
         if hasattr(self, "gp"):
-            from ..gp.engine import GPEngine
-
-            old_bl = dict(zip(self.gp.dag.pretty_edges(),
-                              np.asarray(self.gp.branch_lengths)))
-            self.gp = GPEngine(self.site_pattern, self.dag)
-            self._carry_branch_lengths(self.gp, old_bl)
+            # Incremental growth: the engine keeps its compiled programs
+            # (capacity buckets), carries branch lengths by PCSP and PLVs
+            # by subsplit — no per-acceptance reconstruction/recompile
+            # (reference GPEngine::GrowPLVs, src/gp_engine.cpp:64-209).
+            self.gp.grow(self.dag)
             self.gp.estimate_branch_lengths(1e-3, 5)
 
     @staticmethod

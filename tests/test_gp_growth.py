@@ -1,0 +1,129 @@
+"""GP engine incremental growth (VERDICT r2 missing #2).
+
+The engine keeps compiled wavefront programs across DAG growth: capacity
+buckets give stable shapes, the module-level jits share one cache, branch
+lengths carry by PCSP, and PLVs carry by subsplit identity bit-for-bit
+(reference GPEngine::GrowPLVs/GrowGPCSPs + Reindexer,
+src/gp_engine.cpp:64-209).
+"""
+import numpy as np
+import pytest
+
+from bito_tpu.core.newick import parse_newick_file, read_fasta
+from bito_tpu.core.site_pattern import SitePattern
+from bito_tpu.dag.subsplit_dag import build_dag_from_topologies
+from bito_tpu.gp import engine as gpe
+from bito_tpu.gp.engine import GPEngine
+
+
+@pytest.fixture(scope="module")
+def setup(data_dir):
+    coll = parse_newick_file(str(data_dir / "five_taxon_rooted.nwk"))
+    seqs = read_fasta(str(data_dir / "five_taxon.fasta"))
+    sp = SitePattern(seqs, coll.taxon_names)
+    return coll, sp
+
+
+def _dag_of(coll, k):
+    return build_dag_from_topologies(
+        [t.topology for t in coll.trees[:k]], coll.taxon_names)
+
+
+class TestGPGrowth:
+    def test_plv_carry_bit_for_bit(self, setup):
+        coll, sp = setup
+        dag_a = _dag_of(coll, 2)
+        eng = GPEngine(sp, dag_a)
+        eng.populate_plvs()
+        old_plv = np.asarray(eng.plv)
+        old_nodes = {s.to_string(): i for i, s in enumerate(dag_a.nodes)}
+
+        dag_b = _dag_of(coll, 3)
+        eng.grow(dag_b)
+        new_plv = np.asarray(eng.plv)
+        carried = 0
+        for new_id, ss in enumerate(dag_b.nodes):
+            old_id = old_nodes.get(ss.to_string())
+            if old_id is None:
+                continue
+            np.testing.assert_array_equal(new_plv[:, new_id],
+                                          old_plv[:, old_id])
+            carried += 1
+        assert carried >= dag_a.node_count() - 2  # all surviving nodes
+
+    def test_grown_engine_matches_fresh(self, setup):
+        coll, sp = setup
+        eng = GPEngine(sp, _dag_of(coll, 2))
+        eng.populate_plvs()
+        eng.compute_likelihoods()
+        dag_b = _dag_of(coll, 3)
+        eng.grow(dag_b)
+        fresh = GPEngine(sp, _dag_of(coll, 3))
+        fresh.branch_lengths = eng.branch_lengths
+        for e in (eng, fresh):
+            e.populate_plvs()
+            e.compute_likelihoods()
+        np.testing.assert_allclose(
+            np.asarray(eng.per_edge_ll), np.asarray(fresh.per_edge_ll),
+            rtol=0, atol=1e-12)
+        assert abs(eng.log_marginal_likelihood()
+                   - fresh.log_marginal_likelihood()) < 1e-12
+
+    def test_in_place_add_node_pair_with_mods(self, setup):
+        coll, sp = setup
+        dag = _dag_of(coll, 3)
+        eng = GPEngine(sp, dag)
+        eng.populate_plvs()
+        # Find an addable pair from the 4th tree's subsplits.
+        from bito_tpu.dag.graft import graft_node_pairs  # noqa: F401
+        from bito_tpu.nni.engine import NNIEngine, neighboring_nnis
+
+        pair = None
+        for e in range(dag.edge_count()):
+            p_id = int(dag.edge_parent[e])
+            c_id = int(dag.edge_child[e])
+            if p_id == dag.root_id or c_id < dag.taxon_count:
+                continue
+            for nni in neighboring_nnis(dag.nodes[p_id], dag.nodes[c_id]):
+                if (not dag.contains_edge(nni.parent, nni.child)
+                        and dag.is_valid_add_node_pair(nni.parent,
+                                                       nni.child)):
+                    pair = (nni.parent, nni.child)
+                    break
+            if pair:
+                break
+        assert pair is not None
+        old_bl = np.asarray(eng.branch_lengths).copy()
+        old_edges = dag.build_edge_indexer()
+        mods = dag.add_node_pair(*pair)
+        eng.grow(dag, mods)
+        # Surviving edges keep their branch lengths.
+        new_edges = dag.build_edge_indexer()
+        for pcsp, e_new in new_edges.items():
+            if pcsp in old_edges:
+                assert np.isclose(float(eng.branch_lengths[e_new]),
+                                  old_bl[old_edges[pcsp]])
+        eng.populate_plvs()
+        eng.compute_likelihoods()
+        fresh = GPEngine(sp, dag)
+        fresh.branch_lengths = eng.branch_lengths
+        fresh.populate_plvs()
+        fresh.compute_likelihoods()
+        np.testing.assert_allclose(
+            np.asarray(eng.per_edge_ll), np.asarray(fresh.per_edge_ll),
+            rtol=0, atol=1e-12)
+
+    def test_growth_within_bucket_reuses_programs(self, setup):
+        """Growing inside the capacity bucket triggers ZERO new populate
+        compiles (the round-2 engine recompiled on every acceptance)."""
+        coll, sp = setup
+        eng = GPEngine(sp, _dag_of(coll, 2))
+        eng.populate_plvs()
+        before = gpe._populate_impl._cache_size()
+        caps_before = dict(eng._caps)
+        eng.grow(_dag_of(coll, 3))
+        eng.populate_plvs()
+        eng.grow(_dag_of(coll, 4))
+        eng.populate_plvs()
+        assert eng._caps == caps_before, "bucket unexpectedly grew"
+        assert gpe._populate_impl._cache_size() == before
