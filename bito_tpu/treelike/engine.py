@@ -78,7 +78,10 @@ class TreeLikelihoodEngine:
     def _use_pallas(self, shared_model: bool) -> bool:
         if self.kernel == "scan" or self.use_leveled:
             return False
-        if self._pattern_sharding is not None:
+        if self._pattern_sharding is not None and not self._use_paired():
+            # Only the paired kernel composes with pattern sharding (it
+            # runs per-shard under shard_map); other shapes use the scan
+            # tape, whose sharding XLA propagates directly.
             return False
         if self.kernel in ("pallas", "pallas_interpret"):
             return True
@@ -153,6 +156,16 @@ class TreeLikelihoodEngine:
             pe, pdst, ptip, psrc, ppost_e = self._paired_encoding(enc)
             P_blk, dP_blk, tips_flat, pivec, propvec, w = kargs
             group, s_tile = self._paired_tiles(enc.batch_size)
+            if self._pattern_sharding is not None:
+                mesh, ax = self._pattern_sharding
+                return pallas_paired.paired_ll_and_gradients_sharded(
+                    mesh, ax, pdst, ptip, psrc, ppost_e,
+                    jnp.asarray(enc.edge_mask, jnp.float32),
+                    P_blk, dP_blk, tips_flat, pivec, propvec, w,
+                    M=pe.M, T=pe.num_taxa,
+                    CA=self.model.category_count * 4,
+                    n_pair_slots=pe.n_pair_slots, num_slots=enc.num_slots,
+                    group=group, interpret=interpret)
             return pallas_paired.paired_ll_and_gradients(
                 pdst, ptip, psrc, ppost_e,
                 jnp.asarray(enc.edge_mask, jnp.float32),
@@ -287,7 +300,8 @@ class TreeLikelihoodEngine:
         bl = (branch_lengths if branch_lengths is not None
               else self.branch_length_matrix(trees, enc))
         eig, rates, props, clock = self._model_ingredients(params, len(trees))
-        if self._use_pallas(self._shared_model(params)):
+        if (self._use_pallas(self._shared_model(params))
+                and self._pattern_sharding is None):
             from . import pallas_pruning
 
             kargs = pallas_pruning.prepare_inputs(

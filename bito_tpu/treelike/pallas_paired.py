@@ -451,16 +451,16 @@ def paired_log_likelihoods(
     return out.reshape(B, S) @ weights
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "M", "T", "CA", "n_pair_slots", "num_slots", "s_tile", "group",
-    "interpret"))
-def paired_ll_and_gradients(
-    post_dst, tip_slot, post_src, post_e, edge_mask,
+def _paired_grad_rows(
+    post_dst, tip_slot, post_src, post_e,
     P_blk, dP_blk, tips_flat, pivec, propvec, weights,
     *, M, T, CA, n_pair_slots, num_slots, s_tile, group=None,
     interpret=False,
 ):
-    """Per-tree (log likelihood [B], branch gradients [B, num_slots])."""
+    """Kernel dispatch returning per-pattern rows: (ll_rows [B, S],
+    weighted gradient rows [B, NPg, S]).  The reductions over patterns
+    happen in the caller — locally for a single device, behind a psum for
+    the pattern-sharded path."""
     B = post_dst.shape[0]
     S = tips_flat.shape[1]
     assert S % s_tile == 0, (S, s_tile)
@@ -520,6 +520,68 @@ def paired_ll_and_gradients(
       Lpost.reshape(B // G, G * M, 4 * CA, 2 * CA),
       Ldp.reshape(B // G, G * M, 4 * CA, 2 * CA),
       tipsb, pivec, propvec, w2)
-    ll_total = ll.reshape(B, S) @ weights
-    grads = wgrad.reshape(B, NPg, S).sum(axis=2)[:, :num_slots] * edge_mask
+    return ll.reshape(B, S), wgrad.reshape(B, NPg, S)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "M", "T", "CA", "n_pair_slots", "num_slots", "s_tile", "group",
+    "interpret"))
+def paired_ll_and_gradients(
+    post_dst, tip_slot, post_src, post_e, edge_mask,
+    P_blk, dP_blk, tips_flat, pivec, propvec, weights,
+    *, M, T, CA, n_pair_slots, num_slots, s_tile, group=None,
+    interpret=False,
+):
+    """Per-tree (log likelihood [B], branch gradients [B, num_slots])."""
+    ll_rows, wgrad = _paired_grad_rows(
+        post_dst, tip_slot, post_src, post_e, P_blk, dP_blk, tips_flat,
+        pivec, propvec, weights, M=M, T=T, CA=CA,
+        n_pair_slots=n_pair_slots, num_slots=num_slots, s_tile=s_tile,
+        group=group, interpret=interpret)
+    ll_total = ll_rows @ weights
+    grads = wgrad.sum(axis=2)[:, :num_slots] * edge_mask
     return ll_total, grads
+
+
+def paired_ll_and_gradients_sharded(
+    mesh, axis, post_dst, tip_slot, post_src, post_e, edge_mask,
+    P_blk, dP_blk, tips_flat, pivec, propvec, weights,
+    *, M, T, CA, n_pair_slots, num_slots, group=None, interpret=False,
+):
+    """Pattern-sharded paired kernel (SURVEY P2+P5 composed): each device
+    runs the SAME VMEM-resident kernel on its local pattern shard under
+    shard_map, and the per-tree reductions ride one psum over the mesh —
+    the flagship kernel and the flagship parallelism mechanism no longer
+    exclude each other (the reference's SIMD kernels likewise run under
+    its threading, src/engine.cpp:17-19)."""
+    from jax.sharding import PartitionSpec as PS
+
+    n_dev = mesh.shape[axis]
+    S = tips_flat.shape[1]
+    assert S % n_dev == 0, (S, n_dev)
+    s_local = S // n_dev
+    s_tile = s_local if s_local <= 1024 else max(
+        t for t in (1024, 512, 256, 128) if s_local % t == 0)
+
+    def local_fn(tips_l, w_l, post_dst, tip_slot, post_src, post_e,
+                 edge_mask, P_blk, dP_blk, pivec, propvec):
+        ll_rows, wgrad = _paired_grad_rows(
+            post_dst, tip_slot, post_src, post_e, P_blk, dP_blk, tips_l,
+            pivec, propvec, w_l, M=M, T=T, CA=CA,
+            n_pair_slots=n_pair_slots, num_slots=num_slots,
+            s_tile=s_tile, group=group, interpret=interpret)
+        ll = jax.lax.psum(ll_rows @ w_l, axis)
+        grads = jax.lax.psum(wgrad.sum(axis=2), axis)
+        return ll, grads[:, :num_slots] * edge_mask
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(PS(None, axis), PS(axis), PS(), PS(), PS(), PS(),
+                  PS(), PS(), PS(), PS(), PS()),
+        out_specs=(PS(), PS()),
+        # pallas_call outputs carry no varying-mesh-axes metadata; the
+        # explicit psums above establish the replication.
+        check_vma=False,
+    )
+    return fn(tips_flat, weights, post_dst, tip_slot, post_src, post_e,
+              edge_mask, P_blk, dP_blk, pivec, propvec)

@@ -110,6 +110,42 @@ print("SHARDED-GRad-OK")
 """)
         assert "SHARDED-GRad-OK" in out
 
+    def test_sharded_pallas_kernel_matches_scan(self):
+        """SURVEY P2+P5 composed: the paired Pallas kernel runs per-shard
+        under shard_map when patterns are sharded (previously any sharded
+        run silently dropped to the scan tape)."""
+        out = run_payload(PRELUDE + """
+import numpy as np
+import jax, jax.numpy as jnp
+from bito_tpu.core.newick import parse_nexus_file, read_fasta
+from bito_tpu.core.site_pattern import SitePattern
+from bito_tpu.models.phylo_model import PhyloModel, PhyloModelSpecification
+from bito_tpu.treelike.engine import TreeLikelihoodEngine
+from bito_tpu.dist.mesh import make_mesh
+
+coll = parse_nexus_file("/root/reference/data/DS1.subsampled_10.t")
+seqs = read_fasta("/root/reference/data/DS1.fasta")
+sp = SitePattern(seqs, coll.taxon_names)
+spec = PhyloModelSpecification(substitution="GTR", site="gamma+4")
+params = {"substitution_model_rates": jnp.asarray([0.1,0.3,0.1,0.2,0.25,0.05]),
+          "substitution_model_frequencies": jnp.asarray([0.3,0.25,0.2,0.25]),
+          "site_model_parameters": jnp.asarray([0.5])}
+trees = coll.trees[:4]
+ref = TreeLikelihoodEngine(sp, PhyloModel(spec), dtype=jnp.float32)
+ref.kernel = "scan"
+ll_s, g_s = ref.ll_and_branch_gradients(trees, params)
+eng = TreeLikelihoodEngine(sp, PhyloModel(spec), dtype=jnp.float32)
+eng.kernel = "pallas_interpret"
+eng.shard_patterns(make_mesh(8))
+assert eng._use_pallas(True), "sharded paired kernel not selected"
+ll_p, g_p = eng.ll_and_branch_gradients(trees, params)
+rel_ll = float(jnp.max(jnp.abs((ll_p - ll_s)/ll_s)))
+rel_g = float(jnp.max(jnp.abs(g_p - g_s))/jnp.max(jnp.abs(g_s)))
+assert rel_ll < 1e-4 and rel_g < 1e-3, (rel_ll, rel_g)
+print("SHARDED-PALLAS-OK", rel_ll, rel_g)
+""")
+        assert "SHARDED-PALLAS-OK" in out
+
     def test_gp_engine_sharded_matches_single_device(self):
         out = run_payload(PRELUDE + """
 import numpy as np
