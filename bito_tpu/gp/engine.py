@@ -906,6 +906,18 @@ def _quartet_hybrid_program(root_pv, root_ls, root_bl, log_prior_g,
     return total + non_seq
 
 
+@jax.jit
+def _hybrid_batch_program(*args):
+    """One group of same-shape hybrid requests as a single program: vmap of
+    the per-request quartet program (weights broadcast) plus an on-device
+    logsumexp over each request's (i, j, k, l) combinations -> per-request
+    log marginal [R]."""
+    vals = jax.vmap(_quartet_hybrid_program,
+                    in_axes=(0,) * 18 + (None,))(*args)  # [R, I, J, K, L]
+    flat = vals.reshape(vals.shape[0], -1)
+    return jax.scipy.special.logsumexp(flat, axis=1)
+
+
 class _HybridMixin:
     def _hybrid_request(self, parent_id: int, is_left: bool, child_id: int):
         """(rootward, sister, rotated, sorted) tip lists: each entry is
@@ -979,7 +991,12 @@ class _HybridMixin:
 
     def calculate_hybrid_marginals(self):
         """Reference GPInstance::CalculateHybridMarginals
-        (src/gp_instance.cpp:408-417)."""
+        (src/gp_instance.cpp:408-417).
+
+        Requests are grouped by their (rootward, sister, rotated, sorted)
+        tip-count shape and each group runs as ONE vmapped XLA program with
+        an on-device logsumexp — O(distinct shapes) dispatches instead of
+        one dispatch plus a host logsumexp per central edge."""
         from ..dag.subsplit_dag import LEFT
 
         self.populate_plvs()
@@ -987,10 +1004,52 @@ class _HybridMixin:
         self.hybrid_marginal_log_likelihoods = np.full(
             dag.edge_count(), -np.inf
         )
+        groups: Dict[Tuple[int, int, int, int], list] = {}
         for parent, side, child, edge in dag.topological_edge_traversal():
             if parent == dag.root_id or child < dag.taxon_count:
                 continue
-            self.process_quartet_hybrid_request(parent, side == LEFT, child)
+            req = self._hybrid_request(parent, side == LEFT, child)
+            rootward, sister, rotated, sorted_ = req
+            if not (rootward and sister and rotated and sorted_):
+                continue
+            shape = (len(rootward), len(sister), len(rotated), len(sorted_))
+            central = dag.edge_to_id[(parent, child)]
+            groups.setdefault(shape, []).append((central, req))
+
+        plv, ls, q = self.plv, self.ls, self.q
+        bl = self.branch_lengths
+        inv_prior = jnp.asarray(self.inverted_sbn_prior, dtype=self.dtype)
+        node_probs = jnp.asarray(self.unconditional_node_probabilities,
+                                 dtype=self.dtype)
+        weights = jnp.asarray(self.weights, dtype=self.dtype)
+
+        def stacked(entries_list):
+            nodes = jnp.asarray([[n for n, _, _ in ee]
+                                 for ee in entries_list])
+            types = jnp.asarray([[t for _, t, _ in ee]
+                                 for ee in entries_list])
+            edges = jnp.asarray([[e for _, _, e in ee]
+                                 for ee in entries_list])
+            return (plv[types, nodes], ls[types, nodes], bl[edges], edges)
+
+        for shape, reqs in groups.items():
+            centrals = np.asarray([c for c, _ in reqs])
+            root_pv, root_ls, root_bl, root_e = stacked(
+                [r[0] for _, r in reqs])
+            sis_pv, sis_ls, sis_bl, sis_e = stacked(
+                [r[1] for _, r in reqs])
+            rot_pv, rot_ls, rot_bl, rot_e = stacked(
+                [r[2] for _, r in reqs])
+            sor_pv, sor_ls, sor_bl, sor_e = stacked(
+                [r[3] for _, r in reqs])
+            g_ids = jnp.asarray([[g for g, _, _ in r[0]] for _, r in reqs])
+            vals = _hybrid_batch_program(
+                root_pv, root_ls, root_bl, jnp.log(node_probs[g_ids]),
+                inv_prior[root_e], sis_pv, sis_ls, sis_bl, q[sis_e],
+                bl[jnp.asarray(centrals)], rot_pv, rot_ls, rot_bl,
+                q[rot_e], sor_pv, sor_ls, sor_bl, q[sor_e], weights)
+            self.hybrid_marginal_log_likelihoods[centrals] = np.asarray(
+                vals)
 
 
 for _name in ("_hybrid_request", "calculate_quartet_hybrid_likelihoods",
