@@ -72,6 +72,58 @@ class PhaseTimer:
         return "\n".join(lines)
 
 
+class ProgressBar:
+    """Terminal progress bar (reference src/ProgressBar.hpp:9-66, used by
+    GenericSBNInstance's bulk loops): `bar = ProgressBar(total)`, `next()`
+    or `+= 1` per tick, `display()` to redraw in place, `done()` to finish
+    the line."""
+
+    def __init__(self, total: int, width: int = 70,
+                 complete: str = "=", incomplete: str = " "):
+        self.total = max(int(total), 1)
+        self.width = width
+        self.complete_char = complete
+        self.incomplete_char = incomplete
+        self.ticks = 0
+        self._start = time.perf_counter()
+
+    def __iadd__(self, n: int) -> "ProgressBar":
+        self.ticks += n
+        return self
+
+    def next(self) -> int:
+        self.ticks += 1
+        return self.ticks
+
+    def seconds_elapsed(self) -> float:
+        return time.perf_counter() - self._start
+
+    def display(self, show_hours: bool = False, stream=None) -> None:
+        import sys
+
+        stream = stream or sys.stdout
+        progress = self.ticks / self.total
+        pos = int(self.width * progress)
+        bar = "".join(
+            self.complete_char if i < pos else
+            (">" if i == pos else self.incomplete_char)
+            for i in range(self.width)
+        )
+        secs = self.seconds_elapsed()
+        tail = (f"s {secs / 60.0:.2f}m {secs / 3600.0:.4f}h"
+                if show_hours else "s")
+        stream.write(f"[{bar}] {int(progress * 100)}% {secs:.1f}{tail}\r")
+        stream.flush()
+
+    def done(self, stream=None) -> None:
+        import sys
+
+        stream = stream or sys.stdout
+        self.display(stream=stream)
+        stream.write("\n")
+        stream.flush()
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str):
     """Capture a jax profiler trace (viewable in TensorBoard/Perfetto)."""

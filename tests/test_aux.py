@@ -82,6 +82,27 @@ class TestTiming:
         assert pt.counts["a"] == 2 and pt.counts["b"] == 1
         assert "Timing Report" in pt.report()
 
+    def test_progress_bar(self):
+        """Reference src/ProgressBar.hpp:9-66 semantics: ticks, in-place
+        redraw, percent + elapsed."""
+        import io
+
+        bar = timing.ProgressBar(4, width=8)
+        bar.next()
+        bar += 1
+        out = io.StringIO()
+        bar.display(stream=out)
+        text = out.getvalue()
+        assert text.endswith("\r") and "50%" in text
+        assert text.count("=") == 4  # half of width 8
+        bar.next()
+        bar.next()
+        out2 = io.StringIO()
+        bar.done(stream=out2)
+        assert "100%" in out2.getvalue()
+        assert out2.getvalue().endswith("\n")
+        assert bar.seconds_elapsed() >= 0.0
+
 
 class TestHybridMarginals:
     def test_hybrid_equals_per_edge_without_rootward_uncertainty(
