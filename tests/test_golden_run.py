@@ -13,7 +13,9 @@ What this framework reproduces, and why the match is a prefix:
    opt_max=1 the first accepted score matches to 3.6e-12, at 5 it is off
    by 3e-3);
  - the accepted-NNI sequence and scores match exactly through the first
-   ~18 acceptances (scores at 1e-11 except one rescored candidate);
+   ~18 acceptances (scores at 1e-11 except one rescored candidate); the
+   SEQUENCE match extends to 23 before the first flip (scores past 18
+   carry the update-path skew; see the pinned full-run statistics below);
  - beyond that, candidates rescored after DAG growth drift by ~1e-3..1e-1
    because the post-acceptance update path at commit 811b735 differs from
    the mounted reference HEAD that we replicate
@@ -86,20 +88,43 @@ class TestGoldenRun:
                                                         abs=1e-9)
 
     @pytest.mark.skipif(not os.environ.get("BITO_FULL_GOLDEN"),
-                        reason="full 200-iteration run (set BITO_FULL_GOLDEN=1)")
-    def test_full_run_divergences_are_near_ties(self, golden):
-        """Over the full 200 iterations: every golden acceptance we match
-        keeps score parity within the documented skew, and the aggregate
-        match count stays at or above the established level."""
+                        reason="full 200-iteration run, ~11 min CPU "
+                               "(set BITO_FULL_GOLDEN=1)")
+    def test_full_run_matches_pinned_self_golden(self, golden):
+        """The full 200-iteration trajectory is pinned EXACTLY against this
+        build's own recorded run (tests/data/ds1_self_golden.csv, round 3):
+        210 acceptances, every PCSP equal and every score at 1e-9.  The
+        relationship to the reference golden is pinned as exact aggregate
+        statistics rather than the former >=20-of-200 canary: 33 positional
+        matches of 122 golden records, an exact 23-acceptance prefix, and
+        score skew on matches bounded by the documented 811b735-vs-HEAD
+        update-path drift (max 0.309 nats at match 20)."""
+        import csv
+
         from bito_tpu.nni.golden import golden_nni_search
 
+        pinned = list(csv.reader(open(
+            os.path.join(os.path.dirname(__file__), "data",
+                         "ds1_self_golden.csv"))))
         search = golden_nni_search(
             f"{DS1}/ds1.fasta", f"{DS1}/ds1.top1.nwk", iter_max=200,
             opt_max=1,
         )
         recs = search.records
+        # Exact self-regression: sequence and scores.
+        assert len(recs) == len(pinned) == 210
+        for i, rec in enumerate(recs):
+            assert rec.pcsp == pinned[i][1], (
+                f"trajectory diverges from the pinned self-golden at {i}")
+            assert abs(rec.score - float(pinned[i][2])) < 1e-9, (
+                i, rec.score, pinned[i][2])
+        # Pinned aggregate statistics vs the reference golden run.
         matches = [i for i in range(min(len(recs), len(golden)))
                    if recs[i].pcsp == golden[i][0]]
-        assert len(matches) >= 20
-        for i in matches:
-            assert abs(recs[i].score - golden[i][1]) < 0.5
+        assert len(matches) == 33
+        prefix = 0
+        while prefix < len(matches) and matches[prefix] == prefix:
+            prefix += 1
+        assert prefix == 23
+        assert max(abs(recs[i].score - golden[i][1])
+                   for i in matches) < 0.35
