@@ -361,7 +361,12 @@ def _sweep_impl(idx, plv, ls, blc, qc, weights, *, method):
 
 class GPEngine:
     def __init__(self, site_pattern: SitePattern, dag: SubsplitDAG,
-                 dtype=None, optimization_method: str = "brent"):
+                 dtype=None, optimization_method: str = "brent",
+                 caps: Optional[Dict[str, int]] = None):
+        """`caps` optionally shares a capacity-bucket dict with other
+        engines (e.g. an NNI loop's per-iteration grafted scorers): buckets
+        only grow, so engines sharing the dict converge onto one set of
+        program shapes and hence one compiled program set."""
         self.site_pattern = site_pattern
         self.dag = dag
         self.optimization_method = optimization_method
@@ -385,7 +390,7 @@ class GPEngine:
         # size (padded to the bucket) so every jitted program sees stable
         # shapes across DAG growth; the public `branch_lengths` / `q`
         # properties expose true-size views.
-        self._caps: Dict[str, int] = {}
+        self._caps: Dict[str, int] = caps if caps is not None else {}
         self._prepare_index_arrays()
         E = self.schedule.edge_count
         ecap = self._caps["e"]
@@ -436,22 +441,27 @@ class GPEngine:
         caps = self._caps
         N, E, R = sch.node_count, sch.edge_count, len(sch.rootsplit_nodes)
 
-        def need(key, value):
-            caps[key] = max(caps.get(key, 0), value)
+        def bucket(value, m):
+            """Geometric capacity buckets (m, 2m, 4m, ...): growth ratchets
+            a shape at most O(log) times, so engines sharing a caps dict
+            settle onto one compiled program set after a few doublings."""
+            b = m
+            while b < value:
+                b *= 2
+            return b
 
-        need("n", _rup(N, 32))
-        need("e", _rup(E, 64))
-        need("r", _rup(R, 8))
-        need("Lr", _rup(len(sch.rootward), 2))
-        need("Ll", _rup(len(sch.leafward), 2))
-        need("Kr", _rup(max((len(l.edge) for l in sch.rootward),
-                            default=1), 16))
-        need("Kl", _rup(max((len(l.edge) for l in sch.leafward),
-                            default=1), 16))
-        need("Mr", _rup(max((len(l.nodes) for l in sch.rootward),
-                            default=1), 16))
-        need("Ml", _rup(max((len(l.nodes) for l in sch.leafward),
-                            default=1), 16))
+        def need(key, value, m):
+            caps[key] = max(caps.get(key, 0), bucket(value, m))
+
+        need("n", N, 32)
+        need("e", E, 64)
+        need("r", R, 8)
+        need("Lr", len(sch.rootward), 2)
+        need("Ll", len(sch.leafward), 2)
+        need("Kr", max((len(l.edge) for l in sch.rootward), default=1), 16)
+        need("Kl", max((len(l.edge) for l in sch.leafward), default=1), 16)
+        need("Mr", max((len(l.nodes) for l in sch.rootward), default=1), 16)
+        need("Ml", max((len(l.nodes) for l in sch.leafward), default=1), 16)
         ncap, ecap = caps["n"], caps["e"]
 
         def stack_entries(levels, L, K, M):
@@ -528,7 +538,7 @@ class GPEngine:
         for k, cols in opt_cols.items():
             kind = k.split("_")[-1]
             ck = f"Ko_{k}"
-            need(ck, _rup(max((len(c) for c in cols), default=1), 16))
+            need(ck, max((len(c) for c in cols), default=1), 16)
             sweep[k] = jnp.asarray(_pad_stack(
                 cols, pad_of[kind], width=caps[ck], rows=caps["Ll"]))
 

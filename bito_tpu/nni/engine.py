@@ -499,7 +499,12 @@ class GPScoredNNIEngine(NNIEngine):
                          scoring="tp_likelihood")
         from ..gp.engine import GPEngine
 
-        self.gp = GPEngine(site_pattern, self.dag)
+        # One capacity-bucket dict shared between the persistent engine
+        # and the per-iteration grafted scoring engines: buckets only
+        # grow, so after the first iterations every engine uses the same
+        # program shapes and the shared compiled programs.
+        self._gp_caps: Dict[str, int] = {}
+        self.gp = GPEngine(site_pattern, self.dag, caps=self._gp_caps)
         self.gp.estimate_branch_lengths(1e-3, 10)
 
     def _rebuild_engines(self):
@@ -532,7 +537,7 @@ class GPScoredNNIEngine(NNIEngine):
         pairs = [(self.adjacent[k].parent, self.adjacent[k].child)
                  for k in keys]
         grafted, central = graft_node_pairs(self.dag, pairs)
-        engine = GPEngine(self.site_pattern, grafted)
+        engine = GPEngine(self.site_pattern, grafted, caps=self._gp_caps)
         self._carry_branch_lengths(
             engine,
             dict(zip(self.gp.dag.pretty_edges(),
