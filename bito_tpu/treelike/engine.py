@@ -300,8 +300,7 @@ class TreeLikelihoodEngine:
         bl = (branch_lengths if branch_lengths is not None
               else self.branch_length_matrix(trees, enc))
         eig, rates, props, clock = self._model_ingredients(params, len(trees))
-        if (self._use_pallas(self._shared_model(params))
-                and self._pattern_sharding is None):
+        if self._use_pallas(self._shared_model(params)):
             from . import pallas_pruning
 
             kargs = pallas_pruning.prepare_inputs(
@@ -312,14 +311,24 @@ class TreeLikelihoodEngine:
 
                 pe, pdst, ptip, _psrc, ppost_e = self._paired_encoding(enc)
                 P_blk, tips_flat, piprop, w = kargs
+                group = 2 if len(trees) % 2 == 0 else 1
+                interpret = self.kernel == "pallas_interpret"
+                if self._pattern_sharding is not None:
+                    mesh, ax = self._pattern_sharding
+                    ll = pallas_paired.paired_log_likelihoods_sharded(
+                        mesh, ax, pdst, ptip, P_blk, ppost_e, tips_flat,
+                        piprop, w, M=pe.M, T=pe.num_taxa,
+                        CA=self.model.category_count * 4,
+                        n_pair_slots=pe.n_pair_slots, group=group,
+                        interpret=interpret)
+                    return ll.astype(self.dtype)
                 ll = pallas_paired.paired_log_likelihoods(
                     pdst, ptip, P_blk, ppost_e, tips_flat, piprop, w,
                     M=pe.M, T=pe.num_taxa,
                     CA=self.model.category_count * 4,
                     n_pair_slots=pe.n_pair_slots,
                     s_tile=self._pallas_s_tile(),
-                    group=2 if len(trees) % 2 == 0 else 1,
-                    interpret=(self.kernel == "pallas_interpret"))
+                    group=group, interpret=interpret)
                 return ll.astype(self.dtype)
             ll = pallas_pruning.pallas_log_likelihoods(
                 jnp.asarray(enc.post_ops), jnp.asarray(enc.root), *kargs,

@@ -451,6 +451,38 @@ def paired_log_likelihoods(
     return out.reshape(B, S) @ weights
 
 
+def paired_log_likelihoods_sharded(
+    mesh, axis, post_dst, tip_slot, P_blk, post_e, tips_flat, piprop,
+    weights, *, M, T, CA, n_pair_slots, group=None, interpret=False,
+):
+    """Pattern-sharded LL-only kernel: per-shard paired kernel under
+    shard_map, one psum for the per-tree totals."""
+    from jax.sharding import PartitionSpec as PS
+
+    n_dev = mesh.shape[axis]
+    S = tips_flat.shape[1]
+    assert S % n_dev == 0, (S, n_dev)
+    s_local = S // n_dev
+    s_tile = s_local if s_local <= 1024 else max(
+        t for t in (1024, 512, 256, 128) if s_local % t == 0)
+
+    def local_fn(tips_l, w_l, post_dst, tip_slot, P_blk, post_e, piprop):
+        ll = paired_log_likelihoods(
+            post_dst, tip_slot, P_blk, post_e, tips_l, piprop, w_l,
+            M=M, T=T, CA=CA, n_pair_slots=n_pair_slots, s_tile=s_tile,
+            group=group, interpret=interpret)
+        return jax.lax.psum(ll, axis)
+
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(PS(None, axis), PS(axis), PS(), PS(), PS(), PS(), PS()),
+        out_specs=PS(),
+        check_vma=False,
+    )
+    return fn(tips_flat, weights, post_dst, tip_slot, P_blk, post_e,
+              piprop)
+
+
 def _paired_grad_rows(
     post_dst, tip_slot, post_src, post_e,
     P_blk, dP_blk, tips_flat, pivec, propvec, weights,

@@ -142,7 +142,10 @@ ll_p, g_p = eng.ll_and_branch_gradients(trees, params)
 rel_ll = float(jnp.max(jnp.abs((ll_p - ll_s)/ll_s)))
 rel_g = float(jnp.max(jnp.abs(g_p - g_s))/jnp.max(jnp.abs(g_s)))
 assert rel_ll < 1e-4 and rel_g < 1e-3, (rel_ll, rel_g)
-print("SHARDED-PALLAS-OK", rel_ll, rel_g)
+ll_only = eng.log_likelihoods(trees, params)
+rel_llo = float(jnp.max(jnp.abs((ll_only - ll_s)/ll_s)))
+assert rel_llo < 1e-4, rel_llo
+print("SHARDED-PALLAS-OK", rel_ll, rel_g, rel_llo)
 """)
         assert "SHARDED-PALLAS-OK" in out
 
