@@ -113,6 +113,29 @@ class TestGPGrowth:
             np.asarray(eng.per_edge_ll), np.asarray(fresh.per_edge_ll),
             rtol=0, atol=1e-12)
 
+    def test_nni_loop_shares_one_program_set(self, setup):
+        """The GP-scored NNI loop's persistent engine and its per-iteration
+        grafted scoring engines share one caps dict, so after the loop
+        warms up no iteration adds compiles (round 2 rebuilt + recompiled
+        per acceptance AND per scoring pass)."""
+        from bito_tpu.nni.engine import GPScoredNNIEngine
+
+        coll, sp = setup
+        dag = _dag_of(coll, 2)
+        eng = GPScoredNNIEngine(dag, sp, coll.trees[:2])
+        eng.run(max_iter=1)  # warm-up: seed + first grafted shapes
+        before = (gpe._populate_impl._cache_size(),
+                  gpe._likelihoods_impl._cache_size(),
+                  gpe._sweep_impl._cache_size())
+        eng.run(max_iter=2)
+        after = (gpe._populate_impl._cache_size(),
+                 gpe._likelihoods_impl._cache_size(),
+                 gpe._sweep_impl._cache_size())
+        grew = tuple(b - a for a, b in zip(before, after))
+        assert sum(grew) <= 3, (
+            f"warm NNI iterations added {grew} compiles — the shared "
+            f"capacity buckets regressed")
+
     def test_growth_within_bucket_reuses_programs(self, setup):
         """Growing inside the capacity bucket triggers ZERO new populate
         compiles (the round-2 engine recompiled on every acceptance)."""
