@@ -202,6 +202,69 @@ class LocalPVRefs:
     grandparent_rfocal: Optional[np.ndarray]
 
 
+class _EdgeIndirectPV:
+    """PV tensor with a logical-edge -> physical-row indirection.
+
+    The reference grows its PV matrices in place and physically reindexes
+    them after every DAG modification (Reindexer::ReindexInPlace over the
+    mmapped store, src/reindexer.hpp).  At DS1 scale that is a ~170 MB copy
+    per accepted NNI — it measured as 69% of the whole 200-iteration search
+    (278 s of 405 s).  Here edge data rows never move: `pe[e]` maps the
+    logical edge id (which the reference ordering reassigns on growth) to a
+    stable physical row, and growth appends rows and rewrites only the
+    int map.  Lookup cost is one integer index per access."""
+
+    __slots__ = ("store", "pe")
+
+    def __init__(self, store: np.ndarray, pe: np.ndarray):
+        self.store = store
+        self.pe = pe
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple):
+            t, e = key
+            return self.store[t, self.pe[e]]
+        return self.store[key]
+
+    def __setitem__(self, key, val):
+        if isinstance(key, tuple):
+            t, e = key
+            self.store[t, self.pe[e]] = val
+        else:
+            self.store[key] = val
+
+    @property
+    def shape(self):
+        return (self.store.shape[0], len(self.pe)) + self.store.shape[2:]
+
+    def dense(self) -> np.ndarray:
+        """Materialize [6, E, 4, S] in logical edge order (checkpoints,
+        tests)."""
+        return np.ascontiguousarray(self.store[:, self.pe])
+
+    def grow(self, edge_reindexer: np.ndarray, E_new: int):
+        """Apply a ModificationResult edge reindexer: logical ids move,
+        physical rows do not; new logical edges get fresh zeroed rows."""
+        cap = self.store.shape[1]
+        n_new = E_new - len(self.pe)
+        if len(self.pe) + n_new > cap:
+            new_cap = max(cap * 2, E_new, 16)
+            grown = np.zeros(
+                (self.store.shape[0], new_cap) + self.store.shape[2:],
+                dtype=self.store.dtype)
+            grown[:, :cap] = self.store
+            self.store = grown
+        pe_new = np.empty(E_new, dtype=np.int64)
+        pe_new[edge_reindexer] = self.pe
+        fresh = len(self.pe) + np.arange(n_new)
+        mask = np.ones(E_new, dtype=bool)
+        mask[edge_reindexer] = False
+        assert int(mask.sum()) == n_new, (mask.sum(), n_new)
+        pe_new[mask] = fresh
+        self.store[:, fresh] = 0.0
+        self.pe = pe_new
+
+
 class FaithfulTPEvalEngine:
     """Per-edge-PV TP likelihood engine (reference TPEvalEngineViaLikelihood).
 
@@ -214,7 +277,9 @@ class FaithfulTPEvalEngine:
         self.weights = np.asarray(site_pattern.weights, dtype=np.float64)
         S = site_pattern.pattern_count
         E = dag.edge_count()
-        self.pv = np.zeros((6, E, 4, S), dtype=np.float64)
+        self.pv = _EdgeIndirectPV(
+            np.zeros((6, E, 4, S), dtype=np.float64),
+            np.arange(E, dtype=np.int64))
         self.bl = np.full(E, DEFAULT_BL, dtype=np.float64)
         self.diff = np.zeros(E, dtype=np.float64)
         self.choice = np.full((E, 4), NO_EDGE, dtype=np.int64)
@@ -807,9 +872,7 @@ class FaithfulTPEvalEngine:
         reindexing after SubsplitDAG::AddNodePair (the ModificationResult
         carries old->new reindexers)."""
         E_new = self.dag.edge_count()
-        self.pv = np.ascontiguousarray(
-            mods.reindex_edge_data(self.pv.transpose(1, 0, 2, 3), E_new, 0.0
-                                   ).transpose(1, 0, 2, 3))
+        self.pv.grow(np.asarray(mods.edge_reindexer, dtype=np.int64), E_new)
         self.bl = mods.reindex_edge_data(self.bl, E_new, DEFAULT_BL)
         self.diff = mods.reindex_edge_data(self.diff, E_new, 0.0)
         old_choice = self.choice

@@ -78,10 +78,11 @@ class TreeLikelihoodEngine:
     def _use_pallas(self, shared_model: bool) -> bool:
         if self.kernel == "scan" or self.use_leveled:
             return False
-        if self._pattern_sharding is not None and not self._use_paired():
-            # Only the paired kernel composes with pattern sharding (it
-            # runs per-shard under shard_map); other shapes use the scan
-            # tape, whose sharding XLA propagates directly.
+        if self._pattern_sharding is not None and not (
+                self._use_chunked() or self._use_paired()):
+            # The chunked and paired kernels compose with pattern sharding
+            # (they run per-shard under shard_map); other shapes use the
+            # scan tape, whose sharding XLA propagates directly.
             return False
         if self.kernel in ("pallas", "pallas_interpret"):
             return True
@@ -108,6 +109,62 @@ class TreeLikelihoodEngine:
         """The paired-slot kernel (pallas_paired.py) serves CA multiples of
         16 (bf16 sublane tiles); other shapes keep the original kernel."""
         return (self.model.category_count * 4) % 16 == 0
+
+    # -- chunked (level-synchronous) kernel -------------------------------
+    def _padded_categories(self) -> int:
+        """Category count after padding so CA = C*4 is a multiple of 8
+        (f32 sublane alignment for the chunked kernel's CA-row slot
+        stores).  Pad categories carry rate 1 and proportion 0, so every
+        computed quantity is exactly unchanged; this is how constant-site
+        models (CA=4, e.g. the JC69 BASELINE config) get the fast kernel
+        instead of silently falling back to the scan tape."""
+        C = self.model.category_count
+        return C if (C * 4) % 8 == 0 else C + (-C) % 2
+
+    def _use_chunked(self) -> bool:
+        """The chunked level-synchronous kernel (pallas_chunked.py) is the
+        product default: it serves every category count via padding."""
+        if self.kernel == "paired":
+            return False
+        return True
+
+    def _chunk_W(self) -> int:
+        """Chunk width: 2*W*CA = 128 fills one MXU contraction tile; never
+        below 4 so per-chunk gradient-row stores stay 8-aligned."""
+        CA = self._padded_categories() * 4
+        return max(4, 128 // (2 * CA))
+
+    def _pad_model_ingredients(self, eig, rates, props):
+        """Append zero-proportion, rate-1 category columns up to the
+        padded category count (exact no-op on all outputs)."""
+        Cp = self._padded_categories()
+        C = rates.shape[-1]
+        if Cp == C:
+            return rates, props
+        B = rates.shape[0]
+        pad = Cp - C
+        rates = jnp.concatenate(
+            [rates, jnp.ones((B, pad), rates.dtype)], axis=-1)
+        props = jnp.concatenate(
+            [props, jnp.zeros((B, pad), props.dtype)], axis=-1)
+        return rates, props
+
+    def _chunked_encoding(self, enc):
+        """Chunked-schedule tapes for an encoding, cached on the encoding
+        object (its lifetime matches the tapes' validity)."""
+        W = self._chunk_W()
+        cache = getattr(enc, "_chunked_cache", None)
+        if cache is None or cache[0].W != W:
+            from . import pallas_chunked
+
+            ce = pallas_chunked.build_chunked_encoding(enc, W=W)
+            cache = (
+                ce,
+                jnp.asarray(ce.post_dst), jnp.asarray(ce.tip_slot),
+                jnp.asarray(ce.post_e), jnp.asarray(ce.node_row),
+            )
+            enc._chunked_cache = cache
+        return cache
 
     def _paired_encoding(self, enc):
         """Paired-slot tapes for an encoding, cached on the encoding object
@@ -141,15 +198,39 @@ class TreeLikelihoodEngine:
 
     def _pallas_grad_call(self, enc, eig, rates, props, clock, bl):
         """Dispatch one LL+branch-gradient evaluation through the selected
-        Pallas kernel (paired-slot when the category-state rows tile bf16
-        sublanes, the original kernel otherwise).  Traceable: safe to call
-        from inside a jitted sweep."""
+        Pallas kernel (chunked level-synchronous by default, the paired or
+        original kernel otherwise).  Traceable: safe to call from inside a
+        jitted sweep."""
         from . import pallas_pruning
 
+        interpret = self.kernel == "pallas_interpret"
+        if self._use_chunked():
+            from . import pallas_chunked
+
+            rates_p, props_p = self._pad_model_ingredients(eig, rates, props)
+            P_blk, dP_blk, tips_flat, pivec, propvec, w = (
+                pallas_pruning.prepare_inputs_grad(
+                    enc, self._pallas_tips(), self.site_pattern.weights,
+                    eig, rates_p, props_p, clock, bl, self.pattern_pad))
+            ce, cdst, ctip, cpost_e, cnode_row = self._chunked_encoding(enc)
+            CA = self._padded_categories() * 4
+            edge_mask = jnp.asarray(enc.edge_mask, jnp.float32)
+            if self._pattern_sharding is not None:
+                mesh, ax = self._pattern_sharding
+                return pallas_chunked.chunked_ll_and_gradients_sharded(
+                    mesh, ax, cdst, ctip, cpost_e, cnode_row, edge_mask,
+                    P_blk, dP_blk, tips_flat, pivec, propvec, w,
+                    Mc=ce.Mc, W=ce.W, T=ce.num_taxa, CA=CA,
+                    num_slots=enc.num_slots, interpret=interpret)
+            return pallas_chunked.chunked_ll_and_gradients(
+                cdst, ctip, cpost_e, cnode_row, edge_mask,
+                P_blk, dP_blk, tips_flat, pivec, propvec, w,
+                Mc=ce.Mc, W=ce.W, T=ce.num_taxa, CA=CA,
+                num_slots=enc.num_slots, s_tile=self._pallas_s_tile(),
+                interpret=interpret)
         kargs = pallas_pruning.prepare_inputs_grad(
             enc, self._pallas_tips(), self.site_pattern.weights,
             eig, rates, props, clock, bl, self.pattern_pad)
-        interpret = self.kernel == "pallas_interpret"
         if self._use_paired():
             from . import pallas_paired
 
@@ -288,6 +369,20 @@ class TreeLikelihoodEngine:
             target = target * 2 if target < 32 else target + 32
         return list(trees) + [trees[-1]] * (target - b), b
 
+    def _pad_batch(self, trees, branch_lengths):
+        """Pad an odd tree batch to even by repeating the last tree, so the
+        Pallas kernels keep their G-way interleave (an odd batch would
+        silently drop to G=1, the round-3 latency-hiding loss).  Returns
+        (trees, branch_lengths, true_count)."""
+        b = len(trees)
+        if b % 2 == 0 or not self._use_pallas(True):
+            return trees, branch_lengths, b
+        trees = list(trees) + [trees[-1]]
+        if branch_lengths is not None:
+            branch_lengths = jnp.concatenate(
+                [branch_lengths, branch_lengths[-1:]], axis=0)
+        return trees, branch_lengths, b
+
     def log_likelihoods(
         self, trees: Sequence[Tree], params: Dict[str, jnp.ndarray],
         branch_lengths: Optional[jnp.ndarray] = None,
@@ -296,6 +391,11 @@ class TreeLikelihoodEngine:
         if bucket and branch_lengths is None:
             padded, b = self._bucket_trees(trees)
             return self.log_likelihoods(padded, params)[:b]
+        trees, branch_lengths, true_b = self._pad_batch(trees,
+                                                        branch_lengths)
+        if len(trees) != true_b:
+            return self.log_likelihoods(trees, params,
+                                        branch_lengths)[:true_b]
         enc = self.encode(trees)
         bl = (branch_lengths if branch_lengths is not None
               else self.branch_length_matrix(trees, enc))
@@ -303,6 +403,30 @@ class TreeLikelihoodEngine:
         if self._use_pallas(self._shared_model(params)):
             from . import pallas_pruning
 
+            if self._use_chunked():
+                from . import pallas_chunked
+
+                rates_p, props_p = self._pad_model_ingredients(
+                    eig, rates, props)
+                P_blk, tips_flat, piprop, w = pallas_pruning.prepare_inputs(
+                    enc, self._pallas_tips(), self.site_pattern.weights,
+                    eig, rates_p, props_p, clock, bl, self.pattern_pad)
+                ce, cdst, ctip, cpost_e, _cnode_row = (
+                    self._chunked_encoding(enc))
+                CA = self._padded_categories() * 4
+                interpret = self.kernel == "pallas_interpret"
+                if self._pattern_sharding is not None:
+                    mesh, ax = self._pattern_sharding
+                    ll = pallas_chunked.chunked_log_likelihoods_sharded(
+                        mesh, ax, cdst, ctip, P_blk, cpost_e, tips_flat,
+                        piprop, w, Mc=ce.Mc, W=ce.W, T=ce.num_taxa,
+                        CA=CA, interpret=interpret)
+                    return ll.astype(self.dtype)
+                ll = pallas_chunked.chunked_log_likelihoods(
+                    cdst, ctip, P_blk, cpost_e, tips_flat, piprop, w,
+                    Mc=ce.Mc, W=ce.W, T=ce.num_taxa, CA=CA,
+                    s_tile=self._pallas_s_tile(), interpret=interpret)
+                return ll.astype(self.dtype)
             kargs = pallas_pruning.prepare_inputs(
                 enc, self._pallas_tips(), self.site_pattern.weights,
                 eig, rates, props, clock, bl, self.pattern_pad)
@@ -358,6 +482,12 @@ class TreeLikelihoodEngine:
         self, trees: Sequence[Tree], params: Dict[str, jnp.ndarray],
         branch_lengths: Optional[jnp.ndarray] = None,
     ):
+        trees, branch_lengths, true_b = self._pad_batch(trees,
+                                                        branch_lengths)
+        if len(trees) != true_b:
+            ll, grads = self.ll_and_branch_gradients(trees, params,
+                                                     branch_lengths)
+            return ll[:true_b], grads[:true_b]
         enc = self.encode(trees)
         bl = (branch_lengths if branch_lengths is not None
               else self.branch_length_matrix(trees, enc))
@@ -393,16 +523,24 @@ class TreeLikelihoodEngine:
         kernel path — for embedding many evaluations in one jitted sweep
         (a VBPI inner loop or branch-length scan) without per-call host
         work.  This is the engine's hot path; bench.py drives it."""
+        true_b = len(trees)
+        trees, _, _ = self._pad_batch(trees, None)
+        pad = len(trees) != true_b
         enc = self.encode(trees)
         eig, rates, props, clock = self._model_ingredients(params, len(trees))
         if self._use_pallas(self._shared_model(params)):
-            if self._use_paired():
-                self._paired_encoding(enc)  # build the tapes outside jit
+            if self._use_chunked():
+                self._chunked_encoding(enc)  # build the tapes outside jit
+            elif self._use_paired():
+                self._paired_encoding(enc)
 
             def fn(bl):
+                if pad:
+                    bl = jnp.concatenate([bl, bl[-1:]], axis=0)
                 ll, grads = self._pallas_grad_call(enc, eig, rates, props,
                                                    clock, bl)
-                return ll.astype(self.dtype), grads.astype(self.dtype)
+                return (ll[:true_b].astype(self.dtype),
+                        grads[:true_b].astype(self.dtype))
 
             return fn
 

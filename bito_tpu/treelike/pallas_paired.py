@@ -59,6 +59,18 @@ from jax.experimental.pallas import tpu as pltpu
 RESK = 4  # ops per rescale group
 BUF_DTYPE = jnp.bfloat16  # debug: jnp.float32 isolates hi/lo storage error
 
+# Mosaic's default scoped-VMEM limit is 16 MB, far below the physical VMEM
+# of a v5e core; raising it admits wider tree interleaves (G>2) at full
+# pattern tiles, which is pure latency hiding for this latency-bound
+# kernel.  Overridable for experiments via BITO_PALLAS_VMEM_MB.
+import os as _os
+
+_VMEM_LIMIT = int(_os.environ.get("BITO_PALLAS_VMEM_MB", "96")) * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
 
 def _rup(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -148,8 +160,14 @@ def _mask_split(x):
     f32) to x under jit (and interpret-mode Pallas treats the cast as a
     value no-op), silently zeroing the lo plane."""
     u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    hi = jax.lax.bitcast_convert_type(
-        u & jnp.uint32(0xFFFF0000), jnp.float32)
+    # Round-to-nearest-even on the top 16 bits (NOT truncation): with
+    # truncation |lo| <= 2^-7 |x| and the dropped lo*lo dot term costs
+    # ~2^-14 relative -- the round-3 parity regression.  Rounding keeps
+    # |lo| <= 2^-9 |x|, so the dropped term is ~2^-18.  Pure integer
+    # arithmetic, so neither XLA nor interpret mode can fold it.
+    r = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) \
+        & jnp.uint32(0xFFFF0000)
+    hi = jax.lax.bitcast_convert_type(r, jnp.float32)
     return hi, x - hi
 
 
@@ -203,8 +221,14 @@ def _dot(a, b):
 def _trunc_split(x):
     """In-kernel hi/lo split; see _mask_split for why bit masking."""
     u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    hi = jax.lax.bitcast_convert_type(
-        u & jnp.uint32(0xFFFF0000), jnp.float32)
+    # Round-to-nearest-even on the top 16 bits (NOT truncation): with
+    # truncation |lo| <= 2^-7 |x| and the dropped lo*lo dot term costs
+    # ~2^-14 relative -- the round-3 parity regression.  Rounding keeps
+    # |lo| <= 2^-9 |x|, so the dropped term is ~2^-18.  Pure integer
+    # arithmetic, so neither XLA nor interpret mode can fold it.
+    r = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) \
+        & jnp.uint32(0xFFFF0000)
+    hi = jax.lax.bitcast_convert_type(r, jnp.float32)
     return hi, x - hi
 
 
@@ -445,6 +469,7 @@ def paired_log_likelihoods(
             for i in range(3 * G)
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(post_dst.reshape(B // G, 1, G * M),
       tip_slot.reshape(B // G, 1, G * T),
       Lpost.reshape(B // G, G * M, 4 * CA, 2 * CA), tipsb, piprop)
@@ -546,6 +571,7 @@ def _paired_grad_rows(
             for i in range(3 * G)
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(post_dst.reshape(B // G, 1, G * M),
       tip_slot.reshape(B // G, 1, G * T),
       post_src.reshape(B // G, G * M, 2),
