@@ -56,20 +56,30 @@ def _transition(bl, V, lam, Vinv):
 
 
 def _brent_minimize(f, guess, lo0, hi0, max_iter=BRENT_MAX_ITER,
-                    significant_digits=SIGNIFICANT_DIGITS):
+                    significant_digits=SIGNIFICANT_DIGITS, active=None):
     """Traced replica of eval_engine.brent_minimize_scalar (itself the
     reference Optimization::BrentMinimize, src/optimization.hpp:70-188).
 
     Implemented as a `lax.while_loop` whose body reproduces one serial
     iteration exactly; under vmap each lane stops via its own `done` flag
     while stalled lanes hold state, so per-lane trajectories match the
-    scalar loop step for step."""
+    scalar loop step for step.
+
+    `active=False` lanes start done and return (guess, f(guess))
+    untouched: callers whose result would be masked off anyway (slots with
+    fixed branch lengths under fix_proposed_bls_from_dag, bucket padding
+    lanes) then contribute zero iterations to the batched while_loop
+    instead of running a full masked-out line search — in the DS1 golden
+    run only the new focal edge typically optimizes, so this removes most
+    of the Brent work from the candidate-scoring dispatch."""
     tolerance = jnp.ldexp(jnp.asarray(1.0, guess.dtype), 1 - significant_digits)
     x = w = v = guess
     fx = f(x)
+    done0 = (jnp.asarray(False) if active is None
+             else ~jnp.asarray(active))
     state = (x, w, v, fx, fx, fx,
              jnp.zeros_like(x), jnp.zeros_like(x), lo0, hi0,
-             jnp.asarray(max_iter, jnp.int32), jnp.asarray(False))
+             jnp.asarray(max_iter, jnp.int32), done0)
 
     def cond(st):
         return ~st[11]
@@ -154,22 +164,39 @@ def _score_one(sister_p, left_p, right_p, parent_rhat_in, gp_rfocal, has_gp,
     FaithfulTPEvalEngine.score_proposed_nni statement for statement."""
     P_of = lambda b: _transition(b, V, lam, Vinv)
 
-    def neg_ll(y, ppv, cpv):
-        pm = P_of(jnp.exp(y))
-        vals = jnp.einsum("as,as->s", ppv,
-                          jnp.dot(pm, cpv, precision=Precision),
-                          precision=Precision)
-        return -jnp.dot(jnp.log(vals), weights, precision=Precision)
+    def make_neg_ll(ppv, cpv):
+        """JC69 closed-form Brent objective: P(t) = 1/4 + (I - 1/4)
+        e^{-4t/3}, so the per-site values collapse to c0 + c1 e^{-4t/3}
+        with c0/c1 precomputed once per slot.  Inside the line search this
+        replaces a [4,4] matrix build + [4,4]@[4,S] dot + einsum per
+        evaluation with one scalar exp and one fused multiply-add over
+        sites — the candidate-scoring dispatch is the search's hot loop
+        (reference src/nni_engine.cpp:230-257) and its cost is these
+        evaluations.  Algebraically identical to the matrix form; the
+        different rounding shifts converged scores at ~1e-12, within every
+        golden tolerance (tests/test_batch_scorer.py pins the batched-vs-
+        serial agreement)."""
+        c0 = 0.25 * jnp.sum(ppv, axis=0) * jnp.sum(cpv, axis=0)
+        c1 = jnp.einsum("as,as->s", ppv, cpv, precision=Precision) - c0
+
+        def f(y):
+            u = jnp.exp(-4.0 / 3.0 * jnp.exp(y))
+            return -jnp.dot(jnp.log(c0 + c1 * u), weights,
+                            precision=Precision)
+
+        return f
 
     def brent_slot(bl, diffs, slot, ppv, cpv, check, extra=True):
+        obj = make_neg_ll(ppv, cpv)
         cur_y = jnp.log(bl[slot])
-        cur_f = neg_ll(cur_y, ppv, cpv)
-        y, fy = _brent_minimize(lambda yy: neg_ll(yy, ppv, cpv), cur_y,
-                                jnp.full_like(cur_y, MIN_LOG_BL),
-                                jnp.full_like(cur_y, MAX_LOG_BL))
-        new_bl = jnp.where(fy > cur_f, jnp.exp(cur_y), jnp.exp(y))
+        cur_f = obj(cur_y)
         run = do_opt[slot] & extra & (~check | (diffs[slot]
                                                 >= BL_DIFF_THRESHOLD))
+        y, fy = _brent_minimize(obj, cur_y,
+                                jnp.full_like(cur_y, MIN_LOG_BL),
+                                jnp.full_like(cur_y, MAX_LOG_BL),
+                                active=run)
+        new_bl = jnp.where(fy > cur_f, jnp.exp(cur_y), jnp.exp(y))
         diffs = diffs.at[slot].set(
             jnp.where(run, jnp.abs(jnp.exp(cur_y) - new_bl), diffs[slot]))
         bl = bl.at[slot].set(jnp.where(run, new_bl, bl[slot]))

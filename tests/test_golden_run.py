@@ -87,13 +87,18 @@ class TestGoldenRun:
         assert search.records[0].score == pytest.approx(golden[0][1],
                                                         abs=1e-9)
 
-    @pytest.mark.skipif(not os.environ.get("BITO_FULL_GOLDEN"),
-                        reason="full 200-iteration run, ~11 min CPU "
-                               "(set BITO_FULL_GOLDEN=1)")
+    @pytest.mark.skipif(os.environ.get("BITO_SKIP_FULL_GOLDEN") == "1",
+                        reason="full 200-iteration run (~85 s CPU) "
+                               "explicitly skipped")
     def test_full_run_matches_pinned_self_golden(self, golden):
         """The full 200-iteration trajectory is pinned EXACTLY against this
-        build's own recorded run (tests/data/ds1_self_golden.csv, round 3):
-        210 acceptances, every PCSP equal and every score at 1e-9.  The
+        build's own recorded run (tests/data/ds1_self_golden.csv, round 4;
+        re-recorded after the closed-form JC69 Brent objective shifted
+        scores at ~1e-12 and flipped two far-tail near-ties, 210 -> 208
+        acceptances — every reference-anchored aggregate below is
+        unchanged): 208 acceptances, every PCSP equal and every score at
+        1e-9.  Default-on since the search runs in ~85 s (round 4; was
+        ~11 min).  The
         relationship to the reference golden is pinned as exact aggregate
         statistics rather than the former >=20-of-200 canary: 33 positional
         matches of 122 golden records, an exact 23-acceptance prefix, and
@@ -112,7 +117,7 @@ class TestGoldenRun:
         )
         recs = search.records
         # Exact self-regression: sequence and scores.
-        assert len(recs) == len(pinned) == 210
+        assert len(recs) == len(pinned) == 208
         for i, rec in enumerate(recs):
             assert rec.pcsp == pinned[i][1], (
                 f"trajectory diverges from the pinned self-golden at {i}")
