@@ -154,6 +154,20 @@ def main():
         except Exception as exc:
             print(f"# pallas parity check failed: {exc}", file=sys.stderr)
 
+    # All-five-configs side benchmarks (BENCH_CONFIGS.json next to the
+    # flagship line; BASELINE.json "configs" 1/3/4/5 — stderr lines +
+    # side file give the driver round-over-round visibility into the
+    # GP/VI/NNI paths).
+    if os.environ.get("BENCH_CONFIGS", "1") == "1":
+        try:
+            import bench_configs
+
+            bench_configs.run_all(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_CONFIGS.json"))
+        except Exception as exc:
+            print(f"# bench_configs failed: {exc}", file=sys.stderr)
+
     # Parity check (float64 on-device vs the reference's pybeagle goldens,
     # src/unrooted_sbn_instance.hpp:252-257); stderr-only, after the JSON
     # line so a slow compile cannot cost the measurement.

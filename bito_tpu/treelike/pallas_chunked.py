@@ -243,6 +243,31 @@ def _mask_split(x):
     return hi, x - hi
 
 
+def pack_expanded_operands(P_blk, post_e, W: int):
+    """Materialized chunk block diagonals [B, Mc, 4W*CA, 2W*CA] bf16
+    (rows: [hi(blockdiag); lo(blockdiag)]).  ~2W x zeros vs the compact
+    form, but the kernel then feeds the MXU straight from the streamed
+    block with no in-kernel expansion; at DS1 scale the extra HBM traffic
+    is ~0.3 ms/batch while in-kernel lane-mask expansion measured ~5x
+    kernel slowdown (Mosaic lowers the sublane concats to relayouts)."""
+    B, MW, _ = post_e.shape
+    Mc = MW // W
+    CA = P_blk.shape[-1]
+    n = 2 * W * CA
+    Pg = jnp.take_along_axis(
+        P_blk, post_e.reshape(B, MW * 2)[:, :, None, None].astype(jnp.int32),
+        axis=1)                                     # [B, 2*MW, CA, CA]
+    Pg = Pg.reshape(B, Mc, 2 * W, CA, CA)
+    hi, lo = _mask_split(Pg)
+    # block-diagonal placement via one-hot on the block axis
+    eye = jnp.eye(2 * W, dtype=P_blk.dtype)         # [2W, 2W]
+    def bd(x):
+        # [B, Mc, 2W, CA, CA] -> [B, Mc, 2W*CA, 2W*CA]
+        y = jnp.einsum("bmoij,op->bmoipj", x, eye)
+        return y.reshape(B, Mc, 2 * W * CA, 2 * W * CA)
+    return jnp.concatenate([bd(hi), bd(lo)], axis=2).astype(jnp.bfloat16)
+
+
 def pack_compact_operands(P_blk, post_e, W: int):
     """Compact chunk operands: P_blk [B, N+1, CA, CA], post_e [B, Mc*W, 2]
     -> [B, Mc, 2*CA, 2W*CA] bf16, where [..., h*CA + i, (2k+j)*CA + jc] is
@@ -307,19 +332,17 @@ def _chunk_evolve(Lc_ref, idx, buf, c, W, CA, masks, with_d, Ld_ref=None):
     rh_f, rl_f = _trunc_split(rows)
     rh = rh_f.astype(jnp.bfloat16)
     rl = rl_f.astype(jnp.bfloat16)
-    comp = Lc_ref[0, idx]                       # [2*CA, 2WCA] bf16
-    bd_h = _expand_bd(comp[0:CA], masks)
-    bd_l = _expand_bd(comp[CA:2 * CA], masks)
     n = 2 * W * CA
+    Lst = Lc_ref[0, idx]                        # [4WCA, 2WCA] bf16
+    bd_h = Lst[0:n]
+    bd_l = Lst[n:2 * n]
     if not with_d:
-        big = _dot(jnp.concatenate([bd_h, bd_l], axis=0), rh)
+        big = _dot(Lst, rh)
         ev = big[0:n] + big[n:2 * n] + _dot(bd_h, rl)
         return ev, None, (bd_h, bd_l)
-    compd = Ld_ref[0, idx]
-    dbd_h = _expand_bd(compd[0:CA], masks)
-    dbd_l = _expand_bd(compd[CA:2 * CA], masks)
-    big = _dot(jnp.concatenate([bd_h, bd_l, dbd_h, dbd_l], axis=0), rh)
-    cross = _dot(jnp.concatenate([bd_h, dbd_h], axis=0), rl)
+    Ldst = Ld_ref[0, idx]
+    big = _dot(jnp.concatenate([Lst, Ldst], axis=0), rh)
+    cross = _dot(jnp.concatenate([bd_h, Ldst[0:n]], axis=0), rl)
     ev = big[0:n] + big[n:2 * n] + cross[0:n]
     dPp = big[2 * n:3 * n] + big[3 * n:4 * n] + cross[n:2 * n]
     return ev, dPp, (bd_h, bd_l)
@@ -508,7 +531,7 @@ def chunked_log_likelihoods(
     G = _pick_group(B, group)
     MW = Mc * W
     NS = 2 * MW + 2
-    Lc = pack_compact_operands(P_blk, post_e, W)
+    Lc = pack_expanded_operands(P_blk, post_e, W)
     tipsb = tips_flat.astype(jnp.bfloat16)
     grid = (B // G, S // s_tile)
 
@@ -520,7 +543,7 @@ def chunked_log_likelihoods(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, G * T), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, G * Mc, 2 * CA, 2 * W * CA),
+            pl.BlockSpec((1, G * Mc, 4 * W * CA, 2 * W * CA),
                          lambda b, s: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T * CA, s_tile), lambda b, s: (0, s),
@@ -540,7 +563,7 @@ def chunked_log_likelihoods(
         compiler_params=_compiler_params(),
     )(post_dst.reshape(B // G, 1, G * MW),
       tip_slot.reshape(B // G, 1, G * T),
-      Lc.reshape(B // G, G * Mc, 2 * CA, 2 * W * CA), tipsb, piprop)
+      Lc.reshape(B // G, G * Mc, 4 * W * CA, 2 * W * CA), tipsb, piprop)
     return out.reshape(B, S) @ weights
 
 
@@ -559,8 +582,8 @@ def _chunked_grad_rows(
     MW = Mc * W
     NS = 2 * MW + 2
     NPg = _rup(2 * MW + 1, 8)
-    Lc = pack_compact_operands(P_blk, post_e, W)
-    Ld = pack_compact_operands(dP_blk, post_e, W)
+    Lc = pack_expanded_operands(P_blk, post_e, W)
+    Ld = pack_expanded_operands(dP_blk, post_e, W)
     tipsb = tips_flat.astype(jnp.bfloat16)
     w2 = weights.reshape(1, S)
     grid = (B // G, S // s_tile)
@@ -574,10 +597,10 @@ def _chunked_grad_rows(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, G * T), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, G * Mc, 2 * CA, 2 * W * CA),
+            pl.BlockSpec((1, G * Mc, 4 * W * CA, 2 * W * CA),
                          lambda b, s: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G * Mc, 2 * CA, 2 * W * CA),
+            pl.BlockSpec((1, G * Mc, 4 * W * CA, 2 * W * CA),
                          lambda b, s: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T * CA, s_tile), lambda b, s: (0, s),
@@ -608,8 +631,8 @@ def _chunked_grad_rows(
         compiler_params=_compiler_params(),
     )(post_dst.reshape(B // G, 1, G * MW),
       tip_slot.reshape(B // G, 1, G * T),
-      Lc.reshape(B // G, G * Mc, 2 * CA, 2 * W * CA),
-      Ld.reshape(B // G, G * Mc, 2 * CA, 2 * W * CA),
+      Lc.reshape(B // G, G * Mc, 4 * W * CA, 2 * W * CA),
+      Ld.reshape(B // G, G * Mc, 4 * W * CA, 2 * W * CA),
       tipsb, pivec, propvec, w2)
     return ll.reshape(B, S), wgrad.reshape(B, NPg, S)
 

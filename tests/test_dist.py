@@ -188,9 +188,14 @@ print("GP-SHARDED-OK", m8)
         single-process LL + gradients + GP marginal."""
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)
+        # The launcher's own heartbeat (no worker output for
+        # --stall-timeout) turns a wedged run into a fast, attributable
+        # failure with each rank's last output; the outer timeout is only
+        # the backstop (round 3's failure mode was a silent 600 s hang).
         out = subprocess.run(
             [sys.executable, "-m", "bito_tpu.dist.launch", "-n", "2",
-             "--devices-per-process", "2", "tests/multihost_worker.py"],
+             "--devices-per-process", "2", "--stall-timeout", "240",
+             "tests/multihost_worker.py"],
             env=env, capture_output=True, text=True, timeout=600, cwd=REPO,
         )
         assert out.returncode == 0, f"{out.stdout}\n{out.stderr}"
