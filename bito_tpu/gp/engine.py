@@ -402,6 +402,7 @@ class GPEngine:
         self.ls: Optional[jnp.ndarray] = None
         self.per_edge_ll: Optional[jnp.ndarray] = None
         self.log_marginal_site: Optional[jnp.ndarray] = None
+        self._log_marginal = None
         self.hybrid_marginal_log_likelihoods = np.full(E, -np.inf)
 
     # ------------------------------------------------------------------
@@ -646,6 +647,7 @@ class GPEngine:
             self.ls = ls.at[:, new_ids].set(old_ls[:, old_ids])
         self.per_edge_ll = None
         self.log_marginal_site = None
+        self._log_marginal = None
 
     # ------------------------------------------------------------------
     # public API (mirroring reference GPEngine / GPInstance verbs)
@@ -687,6 +689,7 @@ class GPEngine:
         self.ls = None
         self.per_edge_ll = None
         self.log_marginal_site = None
+        self._log_marginal = None
 
     def populate_plvs(self):
         self.plv, self.ls = _populate_impl(
@@ -703,6 +706,9 @@ class GPEngine:
     def log_marginal_likelihood(self) -> float:
         """Reference GPEngine::GetLogMarginalLikelihood: per-site log
         marginal dotted with site weights."""
+        assert self._log_marginal is not None, (
+            "Call compute_likelihoods first (grow()/populate invalidate "
+            "the cached marginal)")
         return float(self._log_marginal)
 
     def per_gpcsp_log_likelihoods(self) -> np.ndarray:

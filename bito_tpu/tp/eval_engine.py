@@ -294,6 +294,10 @@ class FaithfulTPEvalEngine:
         self.use_best_edge_map = True
         self.init_proposed_bls_with_dag = True
         self.fix_proposed_bls_from_dag = True
+        # 811b735 forensic probe knobs (tests/test_golden_run.py and
+        # scripts/probe_811b735.py): variant update paths after DAG growth.
+        self.update_optimize_new_edges = True   # skip local re-optimization
+        self.update_all_edges = False           # sweep ALL edges, not local
         # Candidate scoring runs as one vmapped XLA dispatch when f64 is
         # on; the serial path remains the oracle (tests compare the two).
         self.use_batched_scorer = True
@@ -1021,6 +1025,8 @@ class FaithfulTPEvalEngine:
                       int(ch[SISTER]), e, int(ch[PARENT])):
                 extra_edges.discard(x)
                 update_edges.add(x)
+        if self.update_all_edges:
+            update_edges = set(range(dag.edge_count()))
         rootward_edges = sorted(update_edges,
                                 key=lambda e: int(dag.edge_parent[e]))
         leafward_edges = sorted(update_edges,
@@ -1084,7 +1090,7 @@ class FaithfulTPEvalEngine:
 
         rootward_pass()
         leafward_pass()
-        if self.do_optimize_new_edges:
+        if self.do_optimize_new_edges and self.update_optimize_new_edges:
             for _ in range(self.optimize_max_iter):
                 for e in sorted(nni_edges):
                     ch = self.choice[e]

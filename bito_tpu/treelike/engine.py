@@ -106,27 +106,31 @@ class TreeLikelihoodEngine:
         return self._pallas_tips_cache
 
     def _use_paired(self) -> bool:
-        """The paired-slot kernel (pallas_paired.py) serves CA multiples of
-        16 (bf16 sublane tiles); other shapes keep the original kernel."""
-        return (self.model.category_count * 4) % 16 == 0
+        """The paired-slot kernel (pallas_paired.py) is the product
+        default: every category count reaches its CA%16==0 shape via
+        zero-proportion category padding (_padded_categories)."""
+        return self.kernel not in ("chunked", "chunked_interpret")
 
-    # -- chunked (level-synchronous) kernel -------------------------------
     def _padded_categories(self) -> int:
-        """Category count after padding so CA = C*4 is a multiple of 8
-        (f32 sublane alignment for the chunked kernel's CA-row slot
-        stores).  Pad categories carry rate 1 and proportion 0, so every
-        computed quantity is exactly unchanged; this is how constant-site
-        models (CA=4, e.g. the JC69 BASELINE config) get the fast kernel
-        instead of silently falling back to the scan tape."""
+        """Category count after padding so CA = C*4 is a multiple of 16
+        (bf16 sublane tiles for the paired kernel; the chunked kernel
+        needs only a multiple of 8).  Pad categories carry rate 1 and
+        proportion 0, so every computed quantity is exactly unchanged;
+        this is how constant-site models (CA=4, e.g. the JC69 BASELINE
+        config) get the fast kernel instead of silently falling back to
+        the scan tape."""
         C = self.model.category_count
-        return C if (C * 4) % 8 == 0 else C + (-C) % 2
+        m = 2 if self._use_chunked() else 4
+        return C if C % m == 0 else C + (-C) % m
 
     def _use_chunked(self) -> bool:
-        """The chunked level-synchronous kernel (pallas_chunked.py) is the
-        product default: it serves every category count via padding."""
-        if self.kernel == "paired":
-            return False
-        return True
+        """The chunked level-synchronous kernel (pallas_chunked.py) is an
+        explicit opt-in (kernel="chunked"/"chunked_interpret"): measured
+        on v5e it loses to the paired kernel (the wide f32 chunk bodies
+        cost more VPU register passes than they save in serialization —
+        see IMPLEMENTATION_NOTES round 4); it remains a tested,
+        documented alternative."""
+        return self.kernel in ("chunked", "chunked_interpret")
 
     def _chunk_W(self) -> int:
         """Chunk width: 2*W*CA = 128 fills one MXU contraction tile; never
@@ -203,7 +207,8 @@ class TreeLikelihoodEngine:
         jitted sweep."""
         from . import pallas_pruning
 
-        interpret = self.kernel == "pallas_interpret"
+        interpret = self.kernel in ("pallas_interpret",
+                                    "chunked_interpret")
         if self._use_chunked():
             from . import pallas_chunked
 
@@ -228,14 +233,16 @@ class TreeLikelihoodEngine:
                 Mc=ce.Mc, W=ce.W, T=ce.num_taxa, CA=CA,
                 num_slots=enc.num_slots, s_tile=self._pallas_s_tile(),
                 interpret=interpret)
-        kargs = pallas_pruning.prepare_inputs_grad(
-            enc, self._pallas_tips(), self.site_pattern.weights,
-            eig, rates, props, clock, bl, self.pattern_pad)
         if self._use_paired():
             from . import pallas_paired
 
             pe, pdst, ptip, psrc, ppost_e = self._paired_encoding(enc)
-            P_blk, dP_blk, tips_flat, pivec, propvec, w = kargs
+            rates_p, props_p = self._pad_model_ingredients(eig, rates,
+                                                           props)
+            P_blk, dP_blk, tips_flat, pivec, propvec, w = (
+                pallas_pruning.prepare_inputs_grad_q(
+                    enc, self._pallas_tips(), self.site_pattern.weights,
+                    eig, rates_p, props_p, clock, bl, self.pattern_pad))
             group, s_tile = self._paired_tiles(enc.batch_size)
             if self._pattern_sharding is not None:
                 mesh, ax = self._pattern_sharding
@@ -244,7 +251,7 @@ class TreeLikelihoodEngine:
                     jnp.asarray(enc.edge_mask, jnp.float32),
                     P_blk, dP_blk, tips_flat, pivec, propvec, w,
                     M=pe.M, T=pe.num_taxa,
-                    CA=self.model.category_count * 4,
+                    CA=self._padded_categories() * 4,
                     n_pair_slots=pe.n_pair_slots, num_slots=enc.num_slots,
                     group=group, interpret=interpret)
             return pallas_paired.paired_ll_and_gradients(
@@ -252,9 +259,12 @@ class TreeLikelihoodEngine:
                 jnp.asarray(enc.edge_mask, jnp.float32),
                 P_blk, dP_blk, tips_flat, pivec, propvec, w,
                 M=pe.M, T=pe.num_taxa,
-                CA=self.model.category_count * 4,
+                CA=self._padded_categories() * 4,
                 n_pair_slots=pe.n_pair_slots, num_slots=enc.num_slots,
                 s_tile=s_tile, group=group, interpret=interpret)
+        kargs = pallas_pruning.prepare_inputs_grad(
+            enc, self._pallas_tips(), self.site_pattern.weights,
+            eig, rates, props, clock, bl, self.pattern_pad)
         return pallas_pruning.pallas_ll_and_gradients(
             jnp.asarray(enc.post_ops), jnp.asarray(enc.pre_ops),
             jnp.asarray(enc.root),
@@ -427,14 +437,15 @@ class TreeLikelihoodEngine:
                     Mc=ce.Mc, W=ce.W, T=ce.num_taxa, CA=CA,
                     s_tile=self._pallas_s_tile(), interpret=interpret)
                 return ll.astype(self.dtype)
-            kargs = pallas_pruning.prepare_inputs(
-                enc, self._pallas_tips(), self.site_pattern.weights,
-                eig, rates, props, clock, bl, self.pattern_pad)
             if self._use_paired():
                 from . import pallas_paired
 
                 pe, pdst, ptip, _psrc, ppost_e = self._paired_encoding(enc)
-                P_blk, tips_flat, piprop, w = kargs
+                rates_p, props_p = self._pad_model_ingredients(
+                    eig, rates, props)
+                P_blk, tips_flat, piprop, w = pallas_pruning.prepare_inputs(
+                    enc, self._pallas_tips(), self.site_pattern.weights,
+                    eig, rates_p, props_p, clock, bl, self.pattern_pad)
                 group = 2 if len(trees) % 2 == 0 else 1
                 interpret = self.kernel == "pallas_interpret"
                 if self._pattern_sharding is not None:
@@ -442,18 +453,21 @@ class TreeLikelihoodEngine:
                     ll = pallas_paired.paired_log_likelihoods_sharded(
                         mesh, ax, pdst, ptip, P_blk, ppost_e, tips_flat,
                         piprop, w, M=pe.M, T=pe.num_taxa,
-                        CA=self.model.category_count * 4,
+                        CA=self._padded_categories() * 4,
                         n_pair_slots=pe.n_pair_slots, group=group,
                         interpret=interpret)
                     return ll.astype(self.dtype)
                 ll = pallas_paired.paired_log_likelihoods(
                     pdst, ptip, P_blk, ppost_e, tips_flat, piprop, w,
                     M=pe.M, T=pe.num_taxa,
-                    CA=self.model.category_count * 4,
+                    CA=self._padded_categories() * 4,
                     n_pair_slots=pe.n_pair_slots,
                     s_tile=self._pallas_s_tile(),
                     group=group, interpret=interpret)
                 return ll.astype(self.dtype)
+            kargs = pallas_pruning.prepare_inputs(
+                enc, self._pallas_tips(), self.site_pattern.weights,
+                eig, rates, props, clock, bl, self.pattern_pad)
             ll = pallas_pruning.pallas_log_likelihoods(
                 jnp.asarray(enc.post_ops), jnp.asarray(enc.root), *kargs,
                 num_slots=enc.num_slots,

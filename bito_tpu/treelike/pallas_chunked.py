@@ -365,7 +365,6 @@ def _chunk_post(pdst_ref, Lc_ref, buf, ls, g, c, Mc, W, CA, masks):
     """Post pass for chunk c: W independent ops in one wide dot."""
     ev, _, _ = _chunk_evolve(Lc_ref, g * Mc + c, buf, c, W, CA, masks,
                              with_d=False)
-    ls2 = ls[pl.ds(2 * W * c, 2 * W), :]        # [2W, S]
     MW = Mc * W
     for k in range(W):
         e1 = ev[2 * k * CA:(2 * k + 1) * CA]
@@ -374,7 +373,10 @@ def _chunk_post(pdst_ref, Lc_ref, buf, ls, g, c, Mc, W, CA, masks):
         mx = jnp.max(prod, axis=0, keepdims=True)
         mx = jnp.where(mx > 0, mx, 1.0)
         prod = prod / mx
-        new_ls = ls2[k * 2:k * 2 + 1] + ls2[k * 2 + 1:k * 2 + 2] + jnp.log(mx)
+        # Single-row dynamic loads: a [2W] block load at offset 2W*c is
+        # only sublane-aligned when W % 4 == 0.
+        new_ls = (ls[pl.ds(2 * (c * W + k), 1), :]
+                  + ls[pl.ds(2 * (c * W + k) + 1, 1), :] + jnp.log(mx))
         dst = pdst_ref[0, 0, g * MW + c * W + k]
         buf[pl.ds(dst * CA, CA), :] = prod
         ls[pl.ds(dst, 1), :] = new_ls

@@ -210,6 +210,64 @@ def assemble_dP_L(dP_blk, post_e):
                           _gather_P(dP_blk, post_e[:, :, 1]))
 
 
+def _bd_hi_lo(P_blk, post_e):
+    """Gather the op pair and return (hi, lo) f32 block diagonals
+    [B, M, 2CA, 2CA]."""
+    bd = _blockdiag2(_gather_P(P_blk, post_e[:, :, 0]),
+                     _gather_P(P_blk, post_e[:, :, 1]))
+    return _mask_split(bd)
+
+
+def assemble_fwd_L(P_blk, post_e):
+    """K-stacked three-pass forward operand [B, M, 2CA, 6CA] bf16:
+    [Lhi | Llo | Lhi] against rights [bh; bh; bl] computes
+    Lhi@bh + Llo@bh + Lhi@bl — the whole three-pass bf16 evolve as ONE
+    MXU dot (the dot count per op, not arithmetic, is the kernel's
+    measured issue cost)."""
+    hi, lo = _bd_hi_lo(P_blk, post_e)
+    return jnp.concatenate([hi, lo, hi], axis=-1).astype(jnp.bfloat16)
+
+
+def assemble_fwd_LD(P_blk, dP_blk, post_e):
+    """[B, M, 4CA, 6CA] bf16: rows [L K-stack; D K-stack], so ONE dot per
+    outside op yields both the evolve and the derivative evolve
+    ([ev; dPp] = Lfwd @ [bh; bh; bl])."""
+    hi, lo = _bd_hi_lo(P_blk, post_e)
+    dhi, dlo = _bd_hi_lo(dP_blk, post_e)
+    top = jnp.concatenate([hi, lo, hi], axis=-1)
+    bot = jnp.concatenate([dhi, dlo, dhi], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2).astype(jnp.bfloat16)
+
+
+def assemble_up_L(P_blk, post_e):
+    """Row-stacked transpose operand [B, M, 6CA, 2CA] bf16:
+    [Lhi; Llo; Lhi] contracted on rows against [oh; oh; ol] computes
+    Lhi^T@oh + Llo^T@oh + Lhi^T@ol — the outside pass's up pair as ONE
+    dot_general."""
+    hi, lo = _bd_hi_lo(P_blk, post_e)
+    return jnp.concatenate([hi, lo, hi], axis=-2).astype(jnp.bfloat16)
+
+
+def assemble_Q_pair(eig, category_rates, clock_rate):
+    """[B, 4CA, 2CA] bf16 hi/lo-stacked blockdiag2(Qcat, Qcat), where
+    Qcat = blockdiag_c(rate_c * clock * Q) and Q = U diag(lam) U^-1.
+
+    dP(bl)/dbl = rate*clock * Q @ P(bl), so the outside pass computes the
+    derivative evolve as ONE per-tree constant operand against the values
+    it already evolved — the per-edge dP gather/assembly and its VMEM
+    stream (half the kernel's streamed operand bytes, and ~half the XLA
+    prep) disappear entirely."""
+    B, C = category_rates.shape
+    A = eig.U.shape[-1]
+    Q = jnp.einsum("bij,bj,bjk->bik", eig.U, eig.values, eig.U_inv)
+    QC = jnp.einsum("bc,bik->bcik",
+                    category_rates * clock_rate[:, None], Q)  # [B,C,A,A]
+    eye = jnp.eye(C, dtype=Q.dtype)
+    Qcat = jnp.einsum("bcik,cd->bcidk", QC, eye).reshape(B, C * A, C * A)
+    Qcat = Qcat.astype(jnp.float32)  # the hi/lo split bitcasts f32
+    return _assemble_pair(Qcat[:, None], Qcat[:, None])[:, 0]
+
+
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
@@ -238,15 +296,20 @@ def _split_store(ref_h, ref_l, start, x):
     ref_l[pl.ds(start, x.shape[0]), :] = lo.astype(ref_l.dtype)
 
 
-def _pair_evolve(Lref, idx, bufh, bufl, m, CA):
-    """[ev1; ev2] for op m: one 3-pass block-diagonal evolve of the
-    contiguous pair rows.  Returns [2CA, S] f32."""
-    Lst = Lref[0, idx]                            # [4CA, 2CA] bf16
+def _pair_rights(bufh, bufl, m, CA):
+    """[bh; bh; bl] rights [6CA, S] for the K-stacked forward dot."""
     bh = bufh[pl.ds(2 * m * CA, 2 * CA), :]
     bl = bufl[pl.ds(2 * m * CA, 2 * CA), :]
-    big = _dot(Lst, bh)                           # [4CA, S] f32
-    cross = _dot(Lst[0:2 * CA], bl)               # [2CA, S]
-    return big[0:2 * CA] + big[2 * CA:4 * CA] + cross
+    return jnp.concatenate([bh, bh, bl], axis=0)
+
+
+def _pair_evolve(Lref, idx, bufh, bufl, m, CA):
+    """[ev1; ev2] for op m: the whole 3-pass block-diagonal evolve as ONE
+    K-stacked dot (see assemble_fwd_L).  Returns [2CA, S] f32.  Works on
+    both the LL operand ([2CA, 6CA]) and the grad operand ([4CA, 6CA],
+    whose derivative rows the post pass does not need)."""
+    Lst = Lref[0, idx]
+    return _dot(Lst[0:2 * CA], _pair_rights(bufh, bufl, m, CA))
 
 
 def _post_op(pdst_ref, Lpost_ref, bufh, bufl, ls, g, m, M, CA, rescale):
@@ -265,7 +328,7 @@ def _post_op(pdst_ref, Lpost_ref, bufh, bufl, ls, g, m, M, CA, rescale):
     ls[pl.ds(dst, 1), :] = new_ls
 
 
-def _pre_op(pdst_ref, psrc_ref, Lpost_ref, Ldp_ref,
+def _pre_op(pdst_ref, psrc_ref, Lfwd_ref, Lup_ref,
             grad_ref, bufh, bufl, w, propcol2,
             g, m, M, CA, NPg, rescale):
     """Outside pass for op m: both siblings' gradient rows + up pair.
@@ -274,10 +337,16 @@ def _pre_op(pdst_ref, psrc_ref, Lpost_ref, Ldp_ref,
     reader of its pair rows' partials, so the up pair overwrites rows 2m in
     place.  The op's own outside value was likewise written into rows
     dst(m) by its consumer (which, in reverse tape order, ran earlier).
-    This halves scratch VMEM, which is what bounds the interleave width G."""
+    (A separate f32 outside buffer and MXU selector-dot reductions were
+    both measured slightly SLOWER on v5e — the kernel is pinned at
+    ~0.35 us per sequenced op regardless of its arithmetic; see
+    IMPLEMENTATION_NOTES round 4.)"""
     idx = g * M + m
-    ev = _pair_evolve(Lpost_ref, idx, bufh, bufl, m, CA)
-    dPp = _pair_evolve(Ldp_ref, idx, bufh, bufl, m, CA)
+    # ONE K-stacked dot produces the evolve AND the derivative evolve
+    # (assemble_fwd_LD): the kernel's issue cost is its dot count.
+    fwd = _dot(Lfwd_ref[0, idx], _pair_rights(bufh, bufl, m, CA))
+    ev = fwd[0:2 * CA]
+    dPp = fwd[2 * CA:4 * CA]
     dst = pdst_ref[0, 0, idx]
     up_m = (bufh[pl.ds(dst * CA, CA), :].astype(jnp.float32)
             + bufl[pl.ds(dst * CA, CA), :].astype(jnp.float32))
@@ -300,17 +369,16 @@ def _pre_op(pdst_ref, psrc_ref, Lpost_ref, Ldp_ref,
     grad_ref[0, pl.ds(g * NPg + psrc_ref[0, idx, 1], 1), :] = w * num2 / den2
     # up pair: blockdiag(P1^T, P2^T) @ o, overwriting the now-dead pair
     # partials where each source's own op will read its outside value.
-    # The transposed operand is Lpost itself with the contraction on the
-    # row axis (blockdiag(A,B)^T = blockdiag(A^T,B^T), and hi/lo split
-    # commutes with transpose), so no third gathered tensor is needed.
+    # One row-stacked dot_general (assemble_up_L) contracts [Lhi; Llo;
+    # Lhi] against [oh; oh; ol] — all three transpose passes in ONE MXU
+    # instruction (blockdiag(A,B)^T = blockdiag(A^T,B^T), and the hi/lo
+    # split commutes with transpose).
     ohf, olf = _trunc_split(o)
     oh = ohf.astype(jnp.bfloat16)
-    Lst = Lpost_ref[0, idx]
-    dgT = lambda a, b: jax.lax.dot_general(
-        a, b, (((0,), (0,)), ((), ())),
+    ro = jnp.concatenate([oh, oh, olf.astype(jnp.bfloat16)], axis=0)
+    upv = jax.lax.dot_general(
+        Lup_ref[0, idx], ro, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    upv = (dgT(Lst[0:2 * CA], oh) + dgT(Lst[2 * CA:4 * CA], oh)
-           + dgT(Lst[0:2 * CA], olf.astype(jnp.bfloat16)))
     _split_store(bufh, bufl, 2 * m * CA, upv)
 
 
@@ -358,7 +426,7 @@ def _ll_kernel(pdst_ref, tip_ref, Lpost_ref, tipsb_ref, piprop_ref,
 
 
 def _grad_kernel(pdst_ref, tip_ref, psrc_ref,
-                 Lpost_ref, Ldp_ref,
+                 Lfwd_ref, Lup_ref,
                  tipsb_ref, pivec_ref, propvec_ref, w_ref,
                  ll_ref, grad_ref, *scratch, M, T, CA, NPg, G):
     ROOT = 2 * M
@@ -376,7 +444,7 @@ def _grad_kernel(pdst_ref, tip_ref, psrc_ref,
         for i in range(RESK):
             for g in range(G):
                 bufh, bufl, ls = scratch[3 * g:3 * g + 3]
-                _post_op(pdst_ref, Lpost_ref, bufh, bufl, ls, g,
+                _post_op(pdst_ref, Lfwd_ref, bufh, bufl, ls, g,
                          k * RESK + i, M, CA, i == RESK - 1)
         return 0
 
@@ -399,7 +467,7 @@ def _grad_kernel(pdst_ref, tip_ref, psrc_ref,
         for i in range(RESK - 1, -1, -1):
             for g in range(G):
                 bufh, bufl, ls = scratch[3 * g:3 * g + 3]
-                _pre_op(pdst_ref, psrc_ref, Lpost_ref, Ldp_ref,
+                _pre_op(pdst_ref, psrc_ref, Lfwd_ref, Lup_ref,
                         grad_ref, bufh, bufl, w, propcol2,
                         g, k * RESK + i, M, CA, NPg, i == 0)
         return 0
@@ -440,7 +508,7 @@ def paired_log_likelihoods(
     assert S % s_tile == 0, (S, s_tile)
     G = _pick_group(B, group)
     NS = n_pair_slots
-    Lpost = assemble_post_L(P_blk, post_e)
+    Lpost = assemble_fwd_L(P_blk, post_e)
     tipsb = _tips_bf16(tips_flat)
     grid = (B // G, S // s_tile)
 
@@ -452,7 +520,7 @@ def paired_log_likelihoods(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, G * T), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, G * M, 4 * CA, 2 * CA),
+            pl.BlockSpec((1, G * M, 2 * CA, 6 * CA),
                          lambda b, s: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T * CA, s_tile), lambda b, s: (0, s),
@@ -472,7 +540,7 @@ def paired_log_likelihoods(
         compiler_params=_compiler_params(),
     )(post_dst.reshape(B // G, 1, G * M),
       tip_slot.reshape(B // G, 1, G * T),
-      Lpost.reshape(B // G, G * M, 4 * CA, 2 * CA), tipsb, piprop)
+      Lpost.reshape(B // G, G * M, 2 * CA, 6 * CA), tipsb, piprop)
     return out.reshape(B, S) @ weights
 
 
@@ -488,8 +556,15 @@ def paired_log_likelihoods_sharded(
     S = tips_flat.shape[1]
     assert S % n_dev == 0, (S, n_dev)
     s_local = S // n_dev
-    s_tile = s_local if s_local <= 1024 else max(
-        t for t in (1024, 512, 256, 128) if s_local % t == 0)
+    s_tile = s_local
+    if s_local > 1024:
+        # Prefer a VMEM-safe divisor tile; a shard size with no such
+        # divisor (e.g. 1040) falls back to one whole-shard tile rather
+        # than raising on the empty max().
+        for t in (1024, 512, 256, 128):
+            if s_local % t == 0:
+                s_tile = t
+                break
 
     def local_fn(tips_l, w_l, post_dst, tip_slot, P_blk, post_e, piprop):
         ll = paired_log_likelihoods(
@@ -524,8 +599,8 @@ def _paired_grad_rows(
     G = _pick_group(B, group)
     NS = n_pair_slots
     NPg = _rup(num_slots + 1, 8)
-    Lpost = assemble_post_L(P_blk, post_e)
-    Ldp = assemble_dP_L(dP_blk, post_e)
+    Lfwd = assemble_fwd_LD(P_blk, dP_blk, post_e)
+    Lup = assemble_up_L(P_blk, post_e)
     tipsb = _tips_bf16(tips_flat)
     w2 = weights.reshape(1, S)
     grid = (B // G, S // s_tile)
@@ -540,10 +615,10 @@ def _paired_grad_rows(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G * M, 2), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, G * M, 4 * CA, 2 * CA),
+            pl.BlockSpec((1, G * M, 4 * CA, 6 * CA),
                          lambda b, s: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G * M, 4 * CA, 2 * CA),
+            pl.BlockSpec((1, G * M, 6 * CA, 2 * CA),
                          lambda b, s: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T * CA, s_tile), lambda b, s: (0, s),
@@ -575,8 +650,8 @@ def _paired_grad_rows(
     )(post_dst.reshape(B // G, 1, G * M),
       tip_slot.reshape(B // G, 1, G * T),
       post_src.reshape(B // G, G * M, 2),
-      Lpost.reshape(B // G, G * M, 4 * CA, 2 * CA),
-      Ldp.reshape(B // G, G * M, 4 * CA, 2 * CA),
+      Lfwd.reshape(B // G, G * M, 4 * CA, 6 * CA),
+      Lup.reshape(B // G, G * M, 6 * CA, 2 * CA),
       tipsb, pivec, propvec, w2)
     return ll.reshape(B, S), wgrad.reshape(B, NPg, S)
 
@@ -618,8 +693,15 @@ def paired_ll_and_gradients_sharded(
     S = tips_flat.shape[1]
     assert S % n_dev == 0, (S, n_dev)
     s_local = S // n_dev
-    s_tile = s_local if s_local <= 1024 else max(
-        t for t in (1024, 512, 256, 128) if s_local % t == 0)
+    s_tile = s_local
+    if s_local > 1024:
+        # Prefer a VMEM-safe divisor tile; a shard size with no such
+        # divisor (e.g. 1040) falls back to one whole-shard tile rather
+        # than raising on the empty max().
+        for t in (1024, 512, 256, 128):
+            if s_local % t == 0:
+                s_tile = t
+                break
 
     def local_fn(tips_l, w_l, post_dst, tip_slot, post_src, post_e,
                  edge_mask, P_blk, dP_blk, pivec, propvec):

@@ -378,6 +378,37 @@ def prepare_inputs(enc, tip_partials, weights, eig, category_rates,
     return P_blk, tips_flat, piprop, w
 
 
+def prepare_inputs_grad_q(enc, tip_partials, weights, eig, category_rates,
+                          category_proportions, clock_rate, branch_lengths,
+                          pattern_pad: int):
+    """prepare_inputs_grad with the derivative matrices built from the
+    dP = rate*clock * Q P identity: one small einsum against the per-tree
+    category-block Q instead of a second eigendecomposition pass over
+    every edge (~halves the XLA-side gradient prep)."""
+    import numpy as _np
+
+    P_blk, tips_flat, _piprop, w = prepare_inputs(
+        enc, tip_partials, weights, eig, category_rates,
+        category_proportions, clock_rate, branch_lengths, pattern_pad,
+    )
+    B, C = category_rates.shape
+    A = 4
+    Q = jnp.einsum("bij,bj,bjk->bik", eig.U, eig.values, eig.U_inv)
+    QC = jnp.einsum("bc,bik->bcik",
+                    category_rates * clock_rate[:, None], Q)  # [B,C,A,A]
+    eye = jnp.eye(C, dtype=Q.dtype)
+    Qcat = jnp.einsum("bcik,cd->bcidk", QC, eye).reshape(
+        B, C * A, C * A).astype(jnp.float32)
+    dP_blk = jnp.einsum("bij,bnjk->bnik", Qcat, P_blk)
+    # zero the identity pad at index N (d/dbl of "no edge" is zero)
+    dP_blk = dP_blk.at[:, -1].set(0.0)
+    pivec = jnp.tile(eig.pi[0], C).reshape(1, C * A).astype(jnp.float32)
+    propvec = jnp.repeat(category_proportions[0], A).reshape(
+        1, C * A
+    ).astype(jnp.float32)
+    return P_blk, dP_blk, tips_flat, pivec, propvec, w
+
+
 def prepare_inputs_grad(enc, tip_partials, weights, eig, category_rates,
                         category_proportions, clock_rate, branch_lengths,
                         pattern_pad: int):

@@ -62,20 +62,20 @@ def _ll_kernel_unroll(pdst_ref, tip_ref, Lc_ref, tipsb_ref, piprop_ref,
 def _chunk_post_ablate(pdst_ref, Lc_ref, buf, ls, g, c, Mc, W, CA, masks):
     ev, _, _ = pc._chunk_evolve(Lc_ref, g * Mc + c, buf, c, W, CA, masks,
                                 with_d=False)
-    ls2 = ls[pl.ds(2 * W * c, 2 * W), :]
     MW = Mc * W
     for k in range(W):
         e1 = ev[2 * k * CA:(2 * k + 1) * CA]
         e2 = ev[(2 * k + 1) * CA:(2 * k + 2) * CA]
         prod = e1 * e2
+        l1 = ls[pl.ds(2 * (c * W + k), 1), :]
+        l2 = ls[pl.ds(2 * (c * W + k) + 1, 1), :]
         if "norescale" in ABLATE:
-            new_ls = ls2[k * 2:k * 2 + 1] + ls2[k * 2 + 1:k * 2 + 2]
+            new_ls = l1 + l2
         else:
             mx = jnp.max(prod, axis=0, keepdims=True)
             mx = jnp.where(mx > 0, mx, 1.0)
             prod = prod / mx
-            new_ls = (ls2[k * 2:k * 2 + 1] + ls2[k * 2 + 1:k * 2 + 2]
-                      + jnp.log(mx))
+            new_ls = l1 + l2 + jnp.log(mx)
         dst = pdst_ref[0, 0, g * MW + c * W + k]
         if "fixstore" in ABLATE:
             base = 2 * W * CA * ((c + 1) % Mc)

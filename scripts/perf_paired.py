@@ -52,8 +52,9 @@ def main():
     def make_paired_eval(group, tile):
         def fn(bl):
             P_blk, dP_blk, tips_flat, pivec, propvec, w = (
-                pp.prepare_inputs_grad(enc, tips, weights, eig, rates,
-                                       props, clock, bl, engine.pattern_pad))
+                pp.prepare_inputs_grad_q(enc, tips, weights, eig, rates,
+                                         props, clock, bl,
+                                         engine.pattern_pad))
             return ppd.paired_ll_and_gradients(
                 pe_post_dst, pe_tip, pe_post_src, pe_post_e,
                 edge_mask, P_blk, dP_blk, tips_flat, pivec, propvec, w,

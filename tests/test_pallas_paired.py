@@ -35,7 +35,7 @@ def _run_paired(engine, trees, params, group):
     eig, rates, props, clock = engine._model_ingredients(params, len(trees))
     sp = engine.site_pattern
     P_blk, dP_blk, tips_flat, pivec, propvec, w = (
-        pallas_pruning.prepare_inputs_grad(
+        pallas_pruning.prepare_inputs_grad_q(
             enc, jnp.asarray(sp.tip_partials(), jnp.float32), sp.weights,
             eig, rates, props, clock, bl, engine.pattern_pad))
     pe = pallas_paired.build_paired_encoding(enc)
@@ -117,12 +117,25 @@ class TestPairedKernel:
                                    rtol=5e-3,
                                    atol=5e-4 * np.abs(np.asarray(g_s)).max())
 
-    def test_jc_model_falls_back(self, data_dir):
-        """CA=4 (JC, one category) keeps the original kernel: the paired
-        kernel requires 16-row sublane tiles."""
+    def test_jc_model_served_via_category_padding(self, data_dir):
+        """CA=4 (JC, one category) reaches the paired kernel through
+        zero-proportion category padding (BASELINE config 1 no longer
+        silently falls back to the scan tape): padded ingredients are an
+        exact no-op and full LL+gradient parity holds."""
         coll = parse_nexus_file(str(data_dir / "DS1.subsampled_10.t"))
         seqs = read_fasta(str(data_dir / "DS1.fasta"))
         sp = SitePattern(seqs, coll.taxon_names)
         engine = TreeLikelihoodEngine(sp, PhyloModel(
             PhyloModelSpecification()))
-        assert not engine._use_paired()
+        assert engine._use_paired()
+        assert engine._padded_categories() == 4
+        trees = coll.trees[:2]
+        engine.kernel = "scan"
+        ll_s, g_s = engine.ll_and_branch_gradients(trees, {})
+        engine.kernel = "pallas_interpret"
+        ll_p, g_p = engine.ll_and_branch_gradients(trees, {})
+        np.testing.assert_allclose(np.asarray(ll_p), np.asarray(ll_s),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_s),
+                                   rtol=1e-3,
+                                   atol=1e-4 * np.abs(np.asarray(g_s)).max())
