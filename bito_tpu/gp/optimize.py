@@ -29,10 +29,15 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # float32 of the reference's "golden ratio, don't need too much precision
 # here!" constant (src/optimization.hpp:208): 2 - phi rounded to f32.
-GOLDEN = float(jnp.float32(0.3819660))
+# float32 of the reference's 0.3819660f; computed via numpy so
+# importing the package never touches a device (a module-level
+# jnp constant hung/failed every import while the TPU claim was
+# pending).
+GOLDEN = float(np.float32(0.3819660))
 
 SIGNIFICANT_DIGITS = 10       # src/dag_branch_handler.hpp:288
 STEP_SIZE = 5e-4              # src/dag_branch_handler.hpp:291

@@ -486,7 +486,7 @@ def _tips_bf16(tips_flat):
 def _pick_group(B: int, group) -> int:
     if group is not None:
         return group if B % group == 0 else 1
-    for g in (2,):
+    for g in (4, 2):
         if B % g == 0:
             return g
     return 1

@@ -393,13 +393,18 @@ def prepare_inputs_grad_q(enc, tip_partials, weights, eig, category_rates,
     )
     B, C = category_rates.shape
     A = 4
-    Q = jnp.einsum("bij,bj,bjk->bik", eig.U, eig.values, eig.U_inv)
+    # HIGHEST precision: TPU einsums default to single-pass bf16 (~2^-8),
+    # which put a 4.5e-3 error on every gradient until the bench parity
+    # guard caught it.
+    hp = jax.lax.Precision.HIGHEST
+    Q = jnp.einsum("bij,bj,bjk->bik", eig.U, eig.values, eig.U_inv,
+                   precision=hp)
     QC = jnp.einsum("bc,bik->bcik",
                     category_rates * clock_rate[:, None], Q)  # [B,C,A,A]
     eye = jnp.eye(C, dtype=Q.dtype)
     Qcat = jnp.einsum("bcik,cd->bcidk", QC, eye).reshape(
         B, C * A, C * A).astype(jnp.float32)
-    dP_blk = jnp.einsum("bij,bnjk->bnik", Qcat, P_blk)
+    dP_blk = jnp.einsum("bij,bnjk->bnik", Qcat, P_blk, precision=hp)
     # zero the identity pad at index N (d/dbl of "no edge" is zero)
     dP_blk = dP_blk.at[:, -1].set(0.0)
     pivec = jnp.tile(eig.pi[0], C).reshape(1, C * A).astype(jnp.float32)
