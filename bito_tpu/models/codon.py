@@ -198,3 +198,38 @@ def codon_log_likelihoods(topologies, branch_lengths, tip_partials,
         jnp.asarray(enc.post_ops), jnp.asarray(enc.root),
         jnp.asarray(tip_partials), w, bl, eig, rates, props, clock,
         num_slots=enc.num_slots, pattern_pad=pad, category_count=C)
+
+
+def codon_ll_and_gradients(topologies, branch_lengths, tip_partials,
+                           weights, model: CodonModel,
+                           category_rates=None,
+                           category_proportions=None):
+    """Batched codon (LL, linear-time branch gradients) on the standard
+    scan tape — the A=64 evolves are [64C, 64C] blocks against [64C, S],
+    the MXU-bound regime the 4-state case never reaches."""
+    import jax.numpy as jnp
+
+    from ..treelike import pruning
+    from ..treelike.encode import encode_trees
+
+    B = len(topologies)
+    enc = encode_trees(topologies)
+    eig1 = model.eigen_decomp()
+    bcast = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+    eig = type(eig1)(*(bcast(x) for x in eig1))
+    C = 1 if category_rates is None else len(category_rates)
+    rates = (jnp.ones((B, 1)) if category_rates is None
+             else jnp.broadcast_to(jnp.asarray(category_rates), (B, C)))
+    props = (jnp.ones((B, 1)) if category_proportions is None
+             else jnp.broadcast_to(jnp.asarray(category_proportions),
+                                   (B, C)))
+    clock = jnp.ones((B,))
+    S0 = tip_partials.shape[1]
+    pad = pruning.pad_patterns(S0)
+    w = jnp.zeros((pad,)).at[:S0].set(jnp.asarray(weights))
+    bl = jnp.asarray(branch_lengths)
+    return pruning.ll_and_branch_gradients_impl(
+        jnp.asarray(enc.post_ops), jnp.asarray(enc.pre_ops),
+        jnp.asarray(enc.root), jnp.asarray(enc.edge_mask, bl.dtype),
+        jnp.asarray(tip_partials), w, bl, eig, rates, props, clock,
+        num_slots=enc.num_slots, pattern_pad=pad, category_count=C)

@@ -142,10 +142,17 @@ def transition_matrices(eig: EigenDecomp, t: jnp.ndarray) -> jnp.ndarray:
     beagleUpdateTransitionMatrices / GPEngine::SetTransitionMatrixToHaveBranchLength
     (reference src/gp_engine.cpp:341-364)."""
     expvals = jnp.exp(eig.values * t[..., None])         # [..., 4]
-    return jnp.einsum(
+    P = jnp.einsum(
         "ab,...b,bc->...ac", eig.U, expvals, eig.U_inv,
         precision=jax.lax.Precision.HIGHEST,
     )
+    # Transition probabilities are nonnegative by definition; in f32 the
+    # eigenreconstruction of large state spaces (codon models, A=64) can
+    # round small entries slightly negative, which turns downstream
+    # partial products negative and the root log into NaN.  Exact no-op
+    # in f64 and for 4-state models, where entries stay strictly
+    # positive.
+    return jnp.maximum(P, 0.0)
 
 
 def transition_derivatives(eig: EigenDecomp, t: jnp.ndarray) -> jnp.ndarray:

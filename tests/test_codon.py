@@ -117,3 +117,31 @@ class TestCodonModel:
         dense = float(np.log(
             0.5 * per_site[0] + 0.5 * per_site[1]).sum())
         assert ll == pytest.approx(dense, rel=1e-9)
+
+    def test_gradients_match_finite_difference(self, data_dir):
+        """A=64 branch gradients (linear-time preorder pass on the same
+        tape) vs central finite differences."""
+        coll = parse_newick_file(str(data_dir / "five_taxon_unrooted.nwk"))
+        topo = coll.trees[0].topology
+        rng = np.random.default_rng(5)
+        bl = rng.uniform(0.05, 0.5, topo.num_nodes)
+        model = cd.CodonModel(kappa=2.0, omega=0.2)
+        S = 20
+        states = rng.integers(0, 61, (topo.num_taxa, S))
+        tips = np.zeros((topo.num_taxa, S, 64))
+        tips[np.arange(topo.num_taxa)[:, None], np.arange(S)[None, :],
+             states] = 1.0
+        w = np.ones(S)
+        ll, grads = cd.codon_ll_and_gradients(
+            [topo], bl[None, :], tips, w, model)
+        ll, grads = float(np.asarray(ll)[0]), np.asarray(grads)[0]
+        eps = 1e-6
+        for e in (0, 2, topo.num_taxa):
+            blp = bl.copy(); blp[e] += eps
+            blm = bl.copy(); blm[e] -= eps
+            lp = float(np.asarray(cd.codon_log_likelihoods(
+                [topo], blp[None, :], tips, w, model))[0])
+            lm = float(np.asarray(cd.codon_log_likelihoods(
+                [topo], blm[None, :], tips, w, model))[0])
+            fd = (lp - lm) / (2 * eps)
+            assert grads[e] == pytest.approx(fd, rel=1e-5, abs=1e-6)

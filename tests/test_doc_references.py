@@ -82,3 +82,30 @@ def test_docstring_symbol_references_exist(source_blob):
                     missing.append((str(path), sym))
     assert not missing, (
         f"docstrings claim symbols absent from the source tree: {missing}")
+
+
+def test_notes_parity_claims_not_better_than_bench():
+    """Round-3 weakness: IMPLEMENTATION_NOTES kept quoting a round-1
+    kernel accuracy (3e-6) after the measured on-device parity had
+    regressed 15x.  The newest BENCH_r*.json is the single source of
+    truth; any 'Ne-M rel' parity claim in the notes' kernel prose must
+    not be BETTER than twice what the bench last measured."""
+    import json
+
+    benches = sorted(REPO.glob("BENCH_r*.json"))
+    if not benches:
+        pytest.skip("no bench record yet")
+    tail = json.loads(benches[-1].read_text()).get("tail", "")
+    m = re.search(r"LL rel ([0-9.e+-]+), grad rel ([0-9.e+-]+)", tail)
+    if not m:
+        pytest.skip("bench tail carries no parity line")
+    measured = min(float(m.group(1)), float(m.group(2)))
+    notes = (REPO / "IMPLEMENTATION_NOTES.md").read_text()
+    offenders = []
+    for claim in re.finditer(r"([0-9.]+e-[0-9]+)\s+rel", notes):
+        value = float(claim.group(1))
+        if value < measured / 2:
+            offenders.append(claim.group(1))
+    assert not offenders, (
+        f"notes claim parity better than the bench measured "
+        f"({measured:.2e}): {offenders}")
