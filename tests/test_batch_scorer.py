@@ -82,3 +82,34 @@ class TestBatchScorer:
         scores2 = eng.score_adjacent_nnis(nnis)
         assert calls["serial"] == len(nnis)
         np.testing.assert_allclose(scores, scores2, rtol=1e-12)
+
+
+def test_batched_matches_serial_at_scale():
+    """Round-3 weakness: the batched path was only exercised at DS1's
+    tens-of-candidates scale.  Grow the DS1 DAG for 25 iterations, then
+    score the ENTIRE adjacent set (hundreds of candidates, spanning
+    several padding buckets) batched and serially and pin them to each
+    other at f64 reassociation tolerance."""
+    import numpy as np
+
+    from bito_tpu.core.newick import parse_newick_file, read_fasta
+    from bito_tpu.core.site_pattern import SitePattern
+    from bito_tpu.dag.reference_order import build_dag_reference_ordered
+    from bito_tpu.nni.golden import GoldenNNISearch, nni_sort_key
+
+    DS1 = "/root/reference/data/ds1"
+    collection = parse_newick_file(f"{DS1}/ds1.top1.nwk")
+    alignment = read_fasta(f"{DS1}/ds1.fasta")
+    sp = SitePattern(alignment, collection.taxon_names)
+    dag = build_dag_reference_ordered(collection)
+    search = GoldenNNISearch(dag, sp, collection.trees, opt_max=1)
+    search.run(iter_max=25)
+    nnis = sorted(search.adjacent, key=nni_sort_key)
+    assert len(nnis) >= 150, len(nnis)
+    eng = search.engine
+    best_edge_map = eng.build_best_edge_map(nnis)
+    batched = eng.score_proposed_nnis_batched(nnis, best_edge_map)
+    serial = np.array([eng.score_proposed_nni(nni, best_edge_map)
+                       for nni in nnis])
+    np.testing.assert_allclose(np.asarray(batched), serial, rtol=0,
+                               atol=5e-9)
