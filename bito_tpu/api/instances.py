@@ -45,12 +45,16 @@ from ..treelike import phylo_flags as phylo_flags_mod
 DOUBLE_MINIMUM = np.finfo(np.float64).min
 
 
-def _resolve_sbn_backend(backend: str) -> str:
+def _resolve_sbn_backend(backend: str, f32_ok: bool = False) -> str:
     """The device (XLA) SBN kernels are calibrated for float64: EM golden
     parity is pinned at 1e-12 and the monotonicity assert assumes f64 score
     noise.  Without jax_enable_x64 they would silently run in float32, so
-    fall back to the numpy host path in that case."""
-    if backend == "device":
+    fall back to the numpy host path — except for callers that declare f32
+    acceptable (`f32_ok`): VIMCO/ELBO topology gradients are stochastic
+    estimates fed to SGD, where f32 sampling noise dwarfs arithmetic
+    noise, and the silent numpy fallback made the product VBPI step ~5x
+    slower than the measured device path (round-4 config-4 bench)."""
+    if backend == "device" and not f32_ok:
         import jax
 
         if not jax.config.jax_enable_x64:
@@ -413,7 +417,7 @@ class UnrootedSBNInstance(GenericSBNInstance):
     def topology_gradients(self, log_f: np.ndarray, use_vimco: bool = True,
                            backend: str = "device") -> np.ndarray:
         reps = self.make_indexer_representations()
-        backend = _resolve_sbn_backend(backend)
+        backend = _resolve_sbn_backend(backend, f32_ok=True)
         grads = (sbn_device.topology_gradients if backend == "device"
                  else sbn_gradients.topology_gradients)
         return grads(
