@@ -448,7 +448,12 @@ class TreeLikelihoodEngine:
                 P_blk, tips_flat, piprop, w = pallas_pruning.prepare_inputs(
                     enc, self._pallas_tips(), self.site_pattern.weights,
                     eig, rates_p, props_p, clock, bl, self.pattern_pad)
-                group, _tile = self._paired_tiles(len(trees))
+                # Shared (group, tile) policy with the gradient path: the
+                # LL kernel's scratch per interleaved tree is the same
+                # hi/lo planes + scales, so it honors the same VMEM cap
+                # (advisor round-3 finding: the LL path used the uncapped
+                # tile).
+                group, ll_tile = self._paired_tiles(len(trees))
                 interpret = self.kernel == "pallas_interpret"
                 if self._pattern_sharding is not None:
                     mesh, ax = self._pattern_sharding
@@ -464,7 +469,7 @@ class TreeLikelihoodEngine:
                     M=pe.M, T=pe.num_taxa,
                     CA=self._padded_categories() * 4,
                     n_pair_slots=pe.n_pair_slots,
-                    s_tile=self._pallas_s_tile(),
+                    s_tile=ll_tile,
                     group=group, interpret=interpret)
                 return ll.astype(self.dtype)
             kargs = pallas_pruning.prepare_inputs(
