@@ -139,3 +139,27 @@ class TestPairedKernel:
         np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_s),
                                    rtol=1e-3,
                                    atol=1e-4 * np.abs(np.asarray(g_s)).max())
+
+    def test_odd_batch_keeps_interleave_via_padding(self, data_dir):
+        """Round-3 hole (b): an odd tree batch silently dropped to G=1.
+        The engine now pads odd batches to even (repeating the last tree)
+        before the kernel, so the G-way interleave survives; outputs for
+        the real trees must match the scan tape."""
+        coll = parse_nexus_file(str(data_dir / "DS1.subsampled_10.t"))
+        seqs = read_fasta(str(data_dir / "DS1.fasta"))
+        sp = SitePattern(seqs, coll.taxon_names)
+        spec = PhyloModelSpecification(substitution="GTR", site="gamma+4")
+        engine = TreeLikelihoodEngine(sp, PhyloModel(spec))
+        trees = coll.trees[:3]  # odd
+        engine.kernel = "pallas_interpret"
+        padded, _, true_b = engine._pad_batch(trees, None)
+        assert len(padded) == 4 and true_b == 3
+        ll_p, g_p = engine.ll_and_branch_gradients(trees, params := _params())
+        assert np.asarray(ll_p).shape == (3,)
+        engine.kernel = "scan"
+        ll_s, g_s = engine.ll_and_branch_gradients(trees, params)
+        np.testing.assert_allclose(np.asarray(ll_p), np.asarray(ll_s),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_s),
+                                   rtol=5e-3,
+                                   atol=5e-4 * np.abs(np.asarray(g_s)).max())
