@@ -7,8 +7,10 @@ indexed VMEM partials buffer: DS1's 28-op postorder chain costs 28 latency
 turnarounds no matter how little arithmetic each op does.  This kernel
 attacks the chain *length*: W mutually independent ops (a level-synchronous
 chunk) execute as ONE wider block-diagonal dot, so the chain shrinks from
-M ops to ceil-ish(M/W) chunks (bounded below by tree depth).  DS1's 28 ops
-pack into 9-11 chunks at W=4.
+M ops to ceil-ish(M/W) chunks (bounded below by tree depth).  DS1's 26-28 ops
+pack into 13-16 chunks at W=4 (the trees are deeper than the round-3
+estimate; see the round-4 notes for why this kernel measured SLOWER than
+the paired design and is therefore an opt-in).
 
 Design (vs pallas_paired):
   - **Chunked pair-slot layout.**  Ops are greedily list-scheduled (height
@@ -22,14 +24,14 @@ Design (vs pallas_paired):
     hi/lo planes; same bytes as one f32 plane but twice the stores, and a
     ~2^-16 round on every stored value (the round-3 parity regression to
     4.8e-5).  Partials are stored once in f32 and split into bf16 hi/lo in
-    registers at load time (bit-mask truncation - see _mask_split for why
-    astype(bf16) round-trips cannot implement the split).
-  - **Compact operands, in-kernel block-diagonal expansion.**  Streaming
-    materialized [4W*CA, 2W*CA] block diagonals from HBM would be ~2W x
-    pure zeros; instead the host streams compact [2, CA, 2W*CA] chunk
-    operands (hi/lo planes of all 2W blocks' rows side by side on the lane
-    axis) and the kernel expands them with precomputed lane masks - a few
-    VPU copies per chunk.
+    registers at load time (round-to-nearest bit arithmetic - see
+    _mask_split for why astype(bf16) round-trips cannot implement the
+    split).
+  - **XLA-side block-diagonal assembly** (pack_expanded_operands).  An
+    in-kernel lane-mask expansion of compact operands was measured ~2.5x
+    SLOWER (Mosaic lowers the sublane concats to relayouts), so the
+    materialized block diagonals stream from HBM despite being ~2W x
+    zeros.
   - **Contiguous gradient-row stores.**  Gradient rows are indexed by grid
     position (2g+j), not node id, so each pre chunk stores one [2W, S]
     block; XLA permutes rows back to node order outside the kernel.
@@ -268,26 +270,6 @@ def pack_expanded_operands(P_blk, post_e, W: int):
     return jnp.concatenate([bd(hi), bd(lo)], axis=2).astype(jnp.bfloat16)
 
 
-def pack_compact_operands(P_blk, post_e, W: int):
-    """Compact chunk operands: P_blk [B, N+1, CA, CA], post_e [B, Mc*W, 2]
-    -> [B, Mc, 2*CA, 2W*CA] bf16, where [..., h*CA + i, (2k+j)*CA + jc] is
-    the hi/lo plane of P_edge(chunk op k, child j)[i, jc].  The kernel expands
-    these to block diagonals with lane masks; streaming materialized
-    [4W*CA, 2W*CA] block diagonals from HBM would be ~2W x zeros."""
-    B, MW, _ = post_e.shape
-    Mc = MW // W
-    CA = P_blk.shape[-1]
-    Pg = jnp.take_along_axis(
-        P_blk, post_e.reshape(B, MW * 2)[:, :, None, None].astype(jnp.int32),
-        axis=1)                                     # [B, MW*2, CA, CA]
-    Pg = Pg.reshape(B, Mc, W * 2, CA, CA)
-    Pg = jnp.swapaxes(Pg, 2, 3)                     # [B, Mc, CA, 2W, CA]
-    Pg = Pg.reshape(B, Mc, CA, 2 * W * CA)
-    hi, lo = _mask_split(Pg)
-    out = jnp.concatenate([hi, lo], axis=2)      # [B, Mc, 2*CA, 2W*CA]
-    return out.astype(jnp.bfloat16)
-
-
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
@@ -302,19 +284,6 @@ def _dotT(a, b):
         a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
 
-def _bd_masks(W: int, CA: int):
-    """2W lane masks [CA, 2W*CA] selecting block o's lane range."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (CA, 2 * W * CA), 1)
-    return [(lane >= o * CA) & (lane < (o + 1) * CA) for o in range(2 * W)]
-
-
-def _expand_bd(comp_h, masks):
-    """[CA, 2W*CA] compact rows -> [2W*CA, 2W*CA] block diagonal."""
-    zero = jnp.zeros_like(comp_h)
-    return jnp.concatenate(
-        [jnp.where(m, comp_h, zero) for m in masks], axis=0)
-
-
 def _row_selector(W: int, CA: int):
     """R [2W, 2W*CA] f32 with R[r, r*CA + i] = 1: per-CA-block row sums as
     one small MXU dot (Mosaic reshapes that split the sublane axis retile;
@@ -324,7 +293,7 @@ def _row_selector(W: int, CA: int):
     return (l // CA == r).astype(jnp.float32)
 
 
-def _chunk_evolve(Lc_ref, idx, buf, c, W, CA, masks, with_d, Ld_ref=None):
+def _chunk_evolve(Lc_ref, idx, buf, c, W, CA, with_d, Ld_ref=None):
     """One chunk's three-pass block-diagonal evolve: returns ev [2W*CA, S]
     (and the derivative evolve when with_d)."""
     base = 2 * W * CA * c
@@ -361,9 +330,9 @@ def _trunc_split(x):
     return hi, x - hi
 
 
-def _chunk_post(pdst_ref, Lc_ref, buf, ls, g, c, Mc, W, CA, masks):
+def _chunk_post(pdst_ref, Lc_ref, buf, ls, g, c, Mc, W, CA):
     """Post pass for chunk c: W independent ops in one wide dot."""
-    ev, _, _ = _chunk_evolve(Lc_ref, g * Mc + c, buf, c, W, CA, masks,
+    ev, _, _ = _chunk_evolve(Lc_ref, g * Mc + c, buf, c, W, CA,
                              with_d=False)
     MW = Mc * W
     for k in range(W):
@@ -383,7 +352,7 @@ def _chunk_post(pdst_ref, Lc_ref, buf, ls, g, c, Mc, W, CA, masks):
 
 
 def _chunk_pre(pdst_ref, Lc_ref, Ld_ref, grad_ref, buf, ls, w, propcol2W,
-               R, g, c, Mc, W, CA, NPg, masks):
+               R, g, c, Mc, W, CA, NPg):
     """Outside pass for chunk c: all W ops' sibling gradients + up pairs.
 
     The up values live IN the partials buffer (pallas_paired's trick,
@@ -392,7 +361,7 @@ def _chunk_pre(pdst_ref, Lc_ref, Ld_ref, grad_ref, buf, ls, w, propcol2W,
     contiguous store; each op's own outside value was written at its dst
     slot by its consumer chunk, which in reverse order ran earlier."""
     ev, dPp, (bd_h, bd_l) = _chunk_evolve(
-        Lc_ref, g * Mc + c, buf, c, W, CA, masks, with_d=True, Ld_ref=Ld_ref)
+        Lc_ref, g * Mc + c, buf, c, W, CA, with_d=True, Ld_ref=Ld_ref)
     MW = Mc * W
     o_parts = []
     for k in range(W):
@@ -442,7 +411,6 @@ def _ll_kernel(pdst_ref, tip_ref, Lc_ref, tipsb_ref, piprop_ref,
                ll_ref, *scratch, Mc, W, T, CA, G):
     ROOT = 2 * Mc * W
     pip_col = piprop_ref[...].reshape(CA, 1)
-    masks = _bd_masks(W, CA)
     for g in range(G):
         buf, ls = scratch[2 * g:2 * g + 2]
         _init_tips(buf, ls, tip_ref, tipsb_ref, g, T, CA)
@@ -450,7 +418,7 @@ def _ll_kernel(pdst_ref, tip_ref, Lc_ref, tipsb_ref, piprop_ref,
     def step(c, _):
         for g in range(G):
             buf, ls = scratch[2 * g:2 * g + 2]
-            _chunk_post(pdst_ref, Lc_ref, buf, ls, g, c, Mc, W, CA, masks)
+            _chunk_post(pdst_ref, Lc_ref, buf, ls, g, c, Mc, W, CA)
         return 0
 
     jax.lax.fori_loop(0, Mc, step, 0)
@@ -468,7 +436,6 @@ def _grad_kernel(pdst_ref, tip_ref, Lc_ref, Ld_ref,
     propcol2W = jnp.concatenate([propcol] * (2 * W), axis=0)
     pip_col = pivec_col * propcol
     w = w_ref[...]                                # [1, S]
-    masks = _bd_masks(W, CA)
     R = _row_selector(W, CA)
 
     for g in range(G):
@@ -478,7 +445,7 @@ def _grad_kernel(pdst_ref, tip_ref, Lc_ref, Ld_ref,
     def step(c, _):
         for g in range(G):
             buf, ls = scratch[2 * g:2 * g + 2]
-            _chunk_post(pdst_ref, Lc_ref, buf, ls, g, c, Mc, W, CA, masks)
+            _chunk_post(pdst_ref, Lc_ref, buf, ls, g, c, Mc, W, CA)
         return 0
 
     jax.lax.fori_loop(0, Mc, step, 0)
@@ -497,7 +464,7 @@ def _grad_kernel(pdst_ref, tip_ref, Lc_ref, Ld_ref,
         for g in range(G):
             buf, ls = scratch[2 * g:2 * g + 2]
             _chunk_pre(pdst_ref, Lc_ref, Ld_ref, grad_ref, buf, ls, w,
-                       propcol2W, R, g, c, Mc, W, CA, NPg, masks)
+                       propcol2W, R, g, c, Mc, W, CA, NPg)
         return 0
 
     jax.lax.fori_loop(0, Mc, pre_step, 0)

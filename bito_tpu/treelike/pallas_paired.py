@@ -27,10 +27,14 @@ VMEM partials buffer.  This kernel attacks the chain structurally:
     each other's latency (separate memrefs keep Mosaic's dependence
     analysis from serializing them).
   - **hi/lo split buffers.** Partials are stored as two bf16 planes
-    (hi = top 16 bits, lo = remainder, ~16 mantissa bits total, same bytes
-    as f32).  The 3-pass bf16 dots stream the planes directly.
-  - **Pre-gathered transition blocks.** The per-op block-diagonal left
-    operands (hi/lo stacked, bf16) are gathered and assembled by XLA
+    (hi = round-to-nearest top 16 bits, lo = remainder; same bytes as
+    f32).  The 3-pass bf16 dots stream the planes directly.
+  - **K-stacked fused operands (round 4).** The whole 3-pass evolve is
+    ONE MXU dot ([Lhi|Llo|Lhi] against [bh;bh;bl], assemble_fwd_L); the
+    outside op computes evolve + derivative evolve in the same single
+    dot (assemble_fwd_LD, with dP = rate*clock*Q*P built by one einsum)
+    and its transpose passes in one row-stacked dot_general
+    (assemble_up_L).  All operands are gathered and assembled by XLA
     outside the kernel.
   - **VPU row reductions.** Root site likelihoods and the gradient
     numerator/denominator contractions are f32 cross-sublane sums instead
@@ -43,7 +47,8 @@ VMEM partials buffer.  This kernel attacks the chain structurally:
 Reference parity: this computes the same quantities as
 beagleUpdatePartials/beagleCalculateEdgeDerivatives
 (reference src/fat_beagle.cpp:49-169); parity vs the f32 scan tape is
-asserted at 1e-4 by tests and the bench guard.
+asserted by tests and pinned at 5e-5 by the bench guard (measured
+6e-6 on v5e, BENCH_r04).
 """
 from __future__ import annotations
 
