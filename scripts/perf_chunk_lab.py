@@ -45,22 +45,20 @@ def _ll_kernel_unroll(pdst_ref, tip_ref, Lc_ref, tipsb_ref, piprop_ref,
                       ll_ref, *scratch, Mc, W, T, CA, G):
     ROOT = 2 * Mc * W
     pip_col = piprop_ref[...].reshape(CA, 1)
-    masks = None
     for g in range(G):
         buf, ls = scratch[2 * g:2 * g + 2]
         pc._init_tips(buf, ls, tip_ref, tipsb_ref, g, T, CA)
     for c in range(Mc):
         for g in range(G):
             buf, ls = scratch[2 * g:2 * g + 2]
-            pc._chunk_post(pdst_ref, Lc_ref, buf, ls, g, c, Mc, W, CA,
-                           masks)
+            pc._chunk_post(pdst_ref, Lc_ref, buf, ls, g, c, Mc, W, CA)
     for g in range(G):
         buf, ls = scratch[2 * g:2 * g + 2]
         ll_ref[0, pl.ds(g, 1), :] = pc._root_ll(buf, ls, pip_col, ROOT, CA)
 
 
-def _chunk_post_ablate(pdst_ref, Lc_ref, buf, ls, g, c, Mc, W, CA, masks):
-    ev, _, _ = pc._chunk_evolve(Lc_ref, g * Mc + c, buf, c, W, CA, masks,
+def _chunk_post_ablate(pdst_ref, Lc_ref, buf, ls, g, c, Mc, W, CA):
+    ev, _, _ = pc._chunk_evolve(Lc_ref, g * Mc + c, buf, c, W, CA,
                                 with_d=False)
     MW = Mc * W
     for k in range(W):
@@ -99,7 +97,7 @@ _orig_ll_kernel = pc._ll_kernel
 _orig_init_tips = pc._init_tips
 
 
-def _chunk_evolve_ablate(Lc_ref, idx, buf, c, W, CA, masks, with_d,
+def _chunk_evolve_ablate(Lc_ref, idx, buf, c, W, CA, with_d,
                          Ld_ref=None):
     n = 2 * W * CA
     base = 2 * W * CA * c
@@ -114,7 +112,7 @@ def _chunk_evolve_ablate(Lc_ref, idx, buf, c, W, CA, masks, with_d,
         rh_f, rl_f = pc._trunc_split(rows)
         ev = rh_f + rl_f
         return ev, None, (Lst[0:n], Lst[n:2 * n])
-    return _orig_evolve(Lc_ref, idx, buf, c, W, CA, masks, with_d, Ld_ref)
+    return _orig_evolve(Lc_ref, idx, buf, c, W, CA, with_d, Ld_ref)
 
 
 def main():
