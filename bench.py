@@ -20,6 +20,13 @@ import os
 import sys
 import time
 
+# Silence XLA C++ WARNING spam before any jax import: the persistent
+# compilation cache replays CPU executables compiled on other machines and
+# cpu_aot_loader then prints two ~1.9k-char machine-feature dumps per
+# dispatch — round 4's flagship line was pushed out of the driver's
+# 2,000-char tail by exactly this (BENCH_r04.json parsed=null).
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 import numpy as np
 
 # Measured single-thread CPU rate of the faithful reimplementation of the
@@ -123,14 +130,44 @@ def main():
 
     print(f"# {evals} evals in {elapsed:.3f}s on {platform}",
           file=sys.stderr)
-    print(json.dumps({
+
+    # Roofline accounting (VERDICT round-4 task 3): useful FLOPs per eval
+    # from the algorithmic minimum — per edge one block-diagonal evolve
+    # (C category 4x4 matvecs over S true patterns, 2*16*C*S flops),
+    # postorder elementwise combines (CA*S per internal node), and for the
+    # gradient pass one preorder evolve + one dP evolve + a 3*CA*S
+    # per-edge weighted reduction per edge, plus ~2*CA*S root work.  This
+    # counts true patterns (S), not pad, and block-diagonal (not dense
+    # CA x CA) math: it is the work the reference's BEAGLE kernels do
+    # (src/fat_beagle.cpp:113-169), independent of kernel implementation.
+    S = sp.pattern_count
+    C = model.category_count
+    CA = 4 * C
+    E = int(np.asarray(enc.edge_mask).sum(axis=1).mean())
+    n_internal = max(enc.num_slots - sp.num_taxa, 1)
+    evolve = 2 * 16 * C * S
+    fl_ll = E * evolve + n_internal * CA * S + 2 * CA * S
+    fl_grad = fl_ll + E * (2 * evolve + 3 * CA * S)
+    peak = {"v5e": 197e12}.get(
+        os.environ.get("PALLAS_AXON_TPU_GEN", "v5e"), 197e12)
+    ach = fl_grad * evals_per_sec
+    print(f"# roofline: useful FLOPs/eval LL-only {fl_ll/1e6:.1f}M, "
+          f"LL+grad {fl_grad/1e6:.1f}M (E={E}, S={S}, C={C}); achieved "
+          f"{ach/1e12:.4f} TFLOP/s = {100*ach/peak:.3f}% of v5e bf16 peak "
+          f"({peak/1e12:.0f} TFLOPS)", file=sys.stderr)
+
+    flagship = {
         "metric": "DS1 GTR+Gamma4 LL+branch-gradient evals/sec/chip",
         "value": round(evals_per_sec, 2),
         "unit": "evals/sec",
         "vs_baseline": round(evals_per_sec / BITO_CPU_BASELINE_EVALS_PER_SEC,
                              3),
-    }))
+        "mfu_pct": round(100 * ach / peak, 4),
+    }
+    flagship_line = json.dumps(flagship)
+    print(flagship_line)
     sys.stdout.flush()
+    parity_line = None
 
     # On-device kernel-vs-kernel parity: the Pallas dots once silently ran
     # single-pass bf16 (0.6% LL error) — a failure mode interpret-mode CPU
@@ -143,8 +180,9 @@ def main():
             rel_ll = float(jnp.max(jnp.abs((ll_pl - ll_scan) / ll_scan)))
             rel_g = float(jnp.max(jnp.abs(g_pl - g_scan))
                           / jnp.max(jnp.abs(g_scan)))
-            print(f"# pallas-vs-scan on-device: LL rel {rel_ll:.2e}, "
-                  f"grad rel {rel_g:.2e}", file=sys.stderr)
+            parity_line = (f"# pallas-vs-scan on-device: LL rel "
+                           f"{rel_ll:.2e}, grad rel {rel_g:.2e}")
+            print(parity_line, file=sys.stderr)
             # Pinned at 8x the measured round-4 parity (LL 6.1e-6, grad
             # 6.3e-6 after the round-to-nearest hi/lo split and HIGHEST-
             # precision dP einsums): any precision-for-speed trade from
@@ -163,15 +201,33 @@ def main():
     # flagship line; BASELINE.json "configs" 1/3/4/5 — stderr lines +
     # side file give the driver round-over-round visibility into the
     # GP/VI/NNI paths).
+    configs_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_CONFIGS.json")
     if os.environ.get("BENCH_CONFIGS", "1") == "1":
         try:
             import bench_configs
 
-            bench_configs.run_all(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_CONFIGS.json"))
+            bench_configs.run_all(configs_path)
         except Exception as exc:
             print(f"# bench_configs failed: {exc}", file=sys.stderr)
+
+    # Duplicate the flagship metric + on-device parity into the side JSON
+    # (VERDICT round-4 weak #7: when the stdout tail was lost, round 4
+    # ended with no machine-readable flagship record at all).
+    try:
+        side = {}
+        if os.path.exists(configs_path):
+            with open(configs_path) as f:
+                side = json.load(f)
+        side["config2_flagship"] = dict(
+            flagship,
+            parity_line=parity_line,
+            kernel="pallas" if using_pallas else "scan",
+        )
+        with open(configs_path, "w") as f:
+            json.dump(side, f, indent=1)
+    except Exception as exc:
+        print(f"# config2 side-record failed: {exc}", file=sys.stderr)
 
     # Parity check (float64 on-device vs the reference's pybeagle goldens,
     # src/unrooted_sbn_instance.hpp:252-257); stderr-only, after the JSON
@@ -196,6 +252,17 @@ def main():
             print(f"# f64 parity check failed: {exc}", file=sys.stderr)
         finally:
             jax.config.update("jax_enable_x64", False)
+
+    # Re-emit the flagship JSON and the on-device parity line as the LAST
+    # lines of the run: the driver records only a bounded output tail, and
+    # round 4 lost both lines to config output + XLA warning spam
+    # (VERDICT round-4 "what's weak" #1).  The JSON line below is the
+    # authoritative flagship record for this round.
+    if parity_line:
+        print(parity_line, file=sys.stderr)
+        print(parity_line)
+    print(flagship_line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

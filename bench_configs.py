@@ -60,41 +60,21 @@ def config1_hello():
     parity = abs(float(ll[0]) - (-84.852358))
     assert parity < 1e-3, ll
 
+    # Bench the SHIPPED dispatch (engine.kernel default "auto" -> paired
+    # Pallas on TPU, scan tape elsewhere), not a hand-assembled kernel
+    # call: advisor round-4 found this config measuring the opt-in chunked
+    # kernel while the product default is the paired kernel.
     iters = 200
-    enc = engine.encode(trees + trees)  # even batch for the kernel path
-    bl = engine.branch_length_matrix(trees + trees, enc)
-    eig, rates, props, clock = engine._model_ingredients({}, 2)
-
+    trees2 = trees + trees  # even batch for the kernel path
+    enc = engine.encode(trees2)
+    bl = engine.branch_length_matrix(trees2, enc)
     kernel = ("pallas" if engine._use_pallas(True) else "scan")
+    eval_fn = engine.ll_eval_fn(trees2, {})
 
     @jax.jit
     def sweep(b):
         def body(carry, k):
-            if kernel == "pallas":
-                from bito_tpu.treelike import pallas_chunked, pallas_pruning
-
-                rates_p, props_p = engine._pad_model_ingredients(
-                    eig, rates, props)
-                P_blk, tips_flat, piprop, w = pallas_pruning.prepare_inputs(
-                    enc, engine._pallas_tips(), engine.site_pattern.weights,
-                    eig, rates_p, props_p, clock, b * (1.0 + 0.001 * k),
-                    engine.pattern_pad)
-                ce, cdst, ctip, cpost_e, _ = engine._chunked_encoding(enc)
-                lls = pallas_chunked.chunked_log_likelihoods(
-                    cdst, ctip, P_blk, cpost_e, tips_flat, piprop, w,
-                    Mc=ce.Mc, W=ce.W, T=ce.num_taxa,
-                    CA=engine._padded_categories() * 4,
-                    s_tile=engine._pallas_s_tile())
-            else:
-                from bito_tpu.treelike import pruning
-
-                lls = pruning.log_likelihoods_impl(
-                    jnp.asarray(enc.post_ops), jnp.asarray(enc.root),
-                    engine.tip_partials, engine.weights,
-                    b * (1.0 + 0.001 * k), eig, rates, props, clock,
-                    num_slots=enc.num_slots,
-                    pattern_pad=engine.pattern_pad,
-                    category_count=engine.model.category_count)
+            lls = eval_fn(b * (1.0 + 0.001 * k))
             return carry + lls.sum(), 0.0
 
         total, _ = jax.lax.scan(body, jnp.zeros((), bl.dtype),
@@ -223,14 +203,20 @@ def config5_nni():
 
     from bito_tpu.nni.golden import golden_nni_search
 
+    x64_before = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
-    cpu = jax.devices("cpu")[0]
-    t0 = time.perf_counter()
-    with jax.default_device(cpu):
-        search = golden_nni_search(
-            f"{DATA}/ds1/ds1.fasta", f"{DATA}/ds1/ds1.top1.nwk",
-            iter_max=20, opt_max=1)
-    t_ds1 = time.perf_counter() - t0
+    try:
+        cpu = jax.devices("cpu")[0]
+        t0 = time.perf_counter()
+        with jax.default_device(cpu):
+            search = golden_nni_search(
+                f"{DATA}/ds1/ds1.fasta", f"{DATA}/ds1/ds1.top1.nwk",
+                iter_max=20, opt_max=1)
+        t_ds1 = time.perf_counter() - t0
+    finally:
+        # Restore: configs share one process; leaking x64 changes dtypes
+        # and timings of anything retraced afterwards (advisor round 4).
+        jax.config.update("jax_enable_x64", x64_before)
     out.update({
         "metric": "NNI search iterations/sec (DS1 TP-likelihood, 20 it)",
         "value": round(20 / t_ds1, 3),
@@ -240,12 +226,105 @@ def config5_nni():
     return out
 
 
+def config6_codon():
+    """A=64 MG94 codon LL+gradient through the PRODUCT engine (VERDICT
+    round-4 task 2: codon as the MXU flagship — PhyloModelSpecification
+    route, paired Pallas kernel at CA=64 on TPU, with an MFU figure).
+    Data: DS1 read as codons (649 triplets, 27 taxa)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bito_tpu.core.newick import parse_nexus_file, read_fasta
+    from bito_tpu.core.site_pattern import CodonSitePattern
+    from bito_tpu.models.phylo_model import (
+        PhyloModel,
+        PhyloModelSpecification,
+    )
+    from bito_tpu.treelike.engine import TreeLikelihoodEngine
+
+    coll = parse_nexus_file(f"{DATA}/DS1.subsampled_10.t")
+    seqs = read_fasta(f"{DATA}/DS1.fasta")
+    sp = CodonSitePattern(seqs, coll.taxon_names)
+    spec = PhyloModelSpecification(substitution="MG94")
+    engine = TreeLikelihoodEngine(sp, PhyloModel(spec))
+    if os.environ.get("BENCH_CODON_KERNEL"):
+        engine.kernel = os.environ["BENCH_CODON_KERNEL"]
+    params = {
+        "substitution_model_rates": jnp.asarray([2.5, 0.3]),
+        "substitution_model_frequencies": jnp.asarray(
+            [0.3, 0.2, 0.3, 0.2]),
+    }
+    batch = int(os.environ.get("BENCH_CODON_BATCH", "64"))
+    trees = [coll.trees[i % len(coll.trees)] for i in range(batch)]
+    iters = 10
+    enc = engine.encode(trees)
+    base_bl = engine.branch_length_matrix(trees, enc)
+    eval_fn = engine.branch_eval_fn(trees, params)
+
+    @jax.jit
+    def sweep(bl):
+        def body(carry, k):
+            ll, grads = eval_fn(bl * (1.0 + 0.001 * k))
+            return carry + ll.sum(), grads.sum()
+
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((), base_bl.dtype),
+            jnp.arange(iters, dtype=base_bl.dtype))
+        return total
+
+    sweep(base_bl).block_until_ready()
+    best = _best_of(lambda: sweep(base_bl * 1.0001).block_until_ready())
+    rate = batch * iters / best
+
+    # Roofline: useful FLOPs over the 61 sense states (block-diagonal
+    # evolves), same accounting as bench.py's flagship lines.
+    S = sp.pattern_count
+    C = engine.model.category_count
+    A = 61
+    E = int(np.asarray(enc.edge_mask).sum(axis=1).mean())
+    evolve = 2 * A * A * C * S
+    fl_grad = (E * evolve + (enc.num_slots - sp.num_taxa) * A * C * S
+               + 2 * A * C * S + E * (2 * evolve + 3 * A * C * S))
+    peak = 197e12
+    mfu = 100 * fl_grad * rate / peak
+
+    out = {
+        "metric": "MG94 codon (A=64) LL+gradient evals/sec",
+        "value": round(rate, 1),
+        "unit": "evals/sec",
+        "kernel": ("pallas" if engine._use_pallas(True) else "scan"),
+        "batch": batch,
+        "patterns": S,
+        "useful_gflop_per_eval": round(fl_grad / 1e9, 3),
+        "mfu_pct": round(mfu, 3),
+    }
+    # On-device kernel-vs-scan parity (the codon analog of the flagship
+    # parity guard; interpret-mode CPU tests cannot see TPU bf16 issues).
+    if engine._use_pallas(True):
+        sub = trees[:4]
+        ll_p, g_p = engine.ll_and_branch_gradients(sub, params)
+        engine.kernel = "scan"
+        ll_s, g_s = engine.ll_and_branch_gradients(sub, params)
+        engine.kernel = "auto"
+        rel_ll = float(jnp.max(jnp.abs((ll_p - ll_s) / ll_s)))
+        rel_g = float(jnp.max(jnp.abs(g_p - g_s))
+                      / jnp.max(jnp.abs(g_s)))
+        out["parity_ll_rel"] = rel_ll
+        out["parity_grad_rel"] = rel_g
+        assert rel_ll < 5e-5 and rel_g < 5e-4, (rel_ll, rel_g)
+    return out
+
+
 def run_all(outfile="BENCH_CONFIGS.json"):
     results = {}
     for name, fn in (("config1_hello_jc69", config1_hello),
                      ("config3_gp_ds1", config3_gp),
                      ("config4_vbpi_ds1", config4_vbpi),
-                     ("config5_nni_search", config5_nni)):
+                     ("config5_nni_search", config5_nni),
+                     ("config6_codon_mg94", config6_codon)):
         t0 = time.perf_counter()
         try:
             results[name] = fn()

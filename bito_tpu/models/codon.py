@@ -142,6 +142,84 @@ def codon_tip_partials(sequences: Dict[str, str], taxon_order) -> np.ndarray:
     return out
 
 
+# -- structural masks for a traceable MG94 Q build -------------------------
+# Precomputed once (host, bool): which codon pairs differ by exactly one
+# nucleotide, whether that change is a transition, and whether it is
+# nonsynonymous — so Q(kappa, omega, pi) is pure elementwise jnp math.
+def _structure_masks():
+    n = NUM_CODONS
+    single = np.zeros((n, n), bool)
+    ti = np.zeros((n, n), bool)
+    nonsyn = np.zeros((n, n), bool)
+    for i, ci in enumerate(SENSE_CODONS):
+        for j, cj in enumerate(SENSE_CODONS):
+            if i == j:
+                continue
+            diffs = [(a, b) for a, b in zip(ci, cj) if a != b]
+            if len(diffs) != 1:
+                continue
+            single[i, j] = True
+            a, b = diffs[0]
+            ti[i, j] = _is_transition(a, b)
+            nonsyn[i, j] = _aa(ci) != _aa(cj)
+    return single, ti, nonsyn
+
+
+SINGLE_MASK, TI_MASK, NONSYN_MASK = _structure_masks()
+# Nucleotide index (TCAG order) of each codon position, for F1x4.
+CODON_NT_IDX = np.array(
+    [[_BASES.index(c[k]) for k in range(3)] for c in SENSE_CODONS])
+
+
+def mg94_eigen(kappa, omega, nuc_freqs):
+    """MG94 padded-64 eigensystem as an EigenDecomp, from (kappa, omega,
+    nucleotide frequencies in TCAG order).
+
+    Concrete inputs take a float64 numpy path (the 61-state `eigh` wants
+    f64; under the engine's eager ingredient prep — branch_eval_fn /
+    ll_eval_fn compute model ingredients outside the jitted sweep — this
+    is the path that runs, so kernel parity is set by f64 eigenvectors).
+    Traced inputs (model-parameter gradients, vmapped per-tree params)
+    fall back to a fully traceable jnp build from the precomputed
+    structural masks."""
+    import jax
+    import jax.numpy as jnp
+
+    from .substitution import EigenDecomp
+
+    concrete = not any(
+        isinstance(x, jax.core.Tracer) for x in (kappa, omega, nuc_freqs))
+    if concrete:
+        pi61 = codon_frequencies_f1x4(np.asarray(nuc_freqs, np.float64))
+        Q61 = mg94_rate_matrix(float(kappa), float(omega), pi61)
+        U, vals, U_inv, pip = padded_eigen(Q61, pi61)
+        return EigenDecomp(U=jnp.asarray(U), values=jnp.asarray(vals),
+                           U_inv=jnp.asarray(U_inv), pi=jnp.asarray(pip))
+
+    f = jnp.asarray(nuc_freqs)
+    pi61 = jnp.prod(f[jnp.asarray(CODON_NT_IDX)], axis=1)
+    pi61 = pi61 / pi61.sum()
+    single = jnp.asarray(SINGLE_MASK)
+    rate = jnp.where(jnp.asarray(TI_MASK), kappa, 1.0) * jnp.where(
+        jnp.asarray(NONSYN_MASK), omega, 1.0)
+    Q = jnp.where(single, rate * pi61[None, :], 0.0)
+    Q = Q - jnp.diag(Q.sum(axis=1))
+    Q = Q / (-jnp.sum(pi61 * jnp.diag(Q)))
+    s = jnp.sqrt(pi61)
+    Sym = (s[:, None] * Q) / s[None, :]
+    Sym = 0.5 * (Sym + Sym.T)
+    lam, V = jnp.linalg.eigh(Sym)
+    U = V / s[:, None]
+    U_inv = V.T * s[None, :]
+    A = PADDED_STATES
+    n = NUM_CODONS
+    Up = jnp.eye(A, dtype=U.dtype).at[:n, :n].set(U)
+    Uip = jnp.eye(A, dtype=U.dtype).at[:n, :n].set(U_inv)
+    vals = jnp.zeros((A,), U.dtype).at[:n].set(lam)
+    pip = jnp.zeros((A,), U.dtype).at[:n].set(pi61)
+    return EigenDecomp(U=Up, values=vals, U_inv=Uip, pi=pip)
+
+
 class CodonModel:
     """MG94 codon model facade: eigen ingredients shaped like the 4-state
     models' EigenDecomp so the scan tape (treelike/pruning.py) runs

@@ -84,3 +84,9 @@ class PhyloModel:
     @property
     def category_count(self) -> int:
         return self.site.category_count
+
+    @property
+    def num_states(self) -> int:
+        """Per-state dimension A (4 for nucleotide models, 64 for the
+        padded codon models); flows into every engine buffer shape."""
+        return self.substitution.num_states

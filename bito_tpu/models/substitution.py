@@ -173,17 +173,31 @@ class SubstitutionModelSpec:
     (src/substitution_model.cpp:6-18)."""
 
     def __init__(self, name: str):
-        if name not in ("JC69", "HKY", "GTR"):
+        if name not in ("JC69", "HKY", "GTR", "MG94"):
             raise ValueError(f"Substitution model not known: {name}")
         self.name = name
 
     @property
+    def num_states(self) -> int:
+        """Per-state dimension A of this model's partials.  MG94 runs on
+        the 61 sense codons padded to 64 so every state axis tiles the TPU
+        lane/sublane grid (models/codon.py padding contract); nucleotide
+        models are A=4."""
+        return 64 if self.name == "MG94" else 4
+
+    @property
     def param_counts(self):
-        """Block sizes matching reference BlockSpecification keys."""
+        """Block sizes matching reference BlockSpecification keys.  MG94
+        (net-new vs the reference, which is BEAGLE-4-state-only,
+        src/fat_beagle.cpp): rates = [kappa, omega], frequencies = the 4
+        nucleotide frequencies feeding F1x4 codon frequencies."""
         if self.name == "JC69":
             return {}
         if self.name == "HKY":
             return {"substitution_model_rates": 1,
+                    "substitution_model_frequencies": 4}
+        if self.name == "MG94":
+            return {"substitution_model_rates": 2,
                     "substitution_model_frequencies": 4}
         return {"substitution_model_rates": 6,
                 "substitution_model_frequencies": 4}
@@ -194,6 +208,11 @@ class SubstitutionModelSpec:
         if self.name == "HKY":
             return {
                 "substitution_model_rates": jnp.array([1.0]),
+                "substitution_model_frequencies": jnp.full((4,), 0.25),
+            }
+        if self.name == "MG94":
+            return {
+                "substitution_model_rates": jnp.array([2.0, 0.2]),
                 "substitution_model_frequencies": jnp.full((4,), 0.25),
             }
         return {
@@ -208,4 +227,8 @@ class SubstitutionModelSpec:
         freqs = jnp.asarray(params["substitution_model_frequencies"])
         if self.name == "HKY":
             return hky_eigen(rates[0], freqs)
+        if self.name == "MG94":
+            from .codon import mg94_eigen
+
+            return mg94_eigen(rates[0], rates[1], freqs)
         return gtr_eigen(rates, freqs)

@@ -224,14 +224,23 @@ class _EdgeIndirectPV:
         if isinstance(key, tuple):
             t, e = key
             return self.store[t, self.pe[e]]
-        return self.store[key]
+        # Non-tuple access would expose PHYSICAL row order (permuted after
+        # the first growth) as if it were logical edge order — use dense()
+        # for a logical-order materialization (advisor round-4 finding).
+        raise TypeError(
+            "_EdgeIndirectPV requires (pv_type, edge) indexing; use "
+            "dense() for a logical-edge-order array")
 
     def __setitem__(self, key, val):
         if isinstance(key, tuple):
             t, e = key
             self.store[t, self.pe[e]] = val
+        elif key == slice(None):
+            self.store[:] = val  # whole-store reset; order-independent
         else:
-            self.store[key] = val
+            raise TypeError(
+                "_EdgeIndirectPV requires (pv_type, edge) indexing or a "
+                "full [:] reset")
 
     @property
     def shape(self):

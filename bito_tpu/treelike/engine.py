@@ -41,12 +41,17 @@ class TreeLikelihoodEngine:
         self.site_pattern = site_pattern
         self.model = model
         self.dtype = dtype or jnp.zeros(0).dtype
+        # Per-state dimension A: 4 for nucleotide models, 64 for the
+        # padded codon models (MG94).  All buffer shapes flow from here;
+        # the pruning tape and the paired Pallas kernel are A-generic.
+        self.num_states = getattr(model, "num_states", 4)
         S0 = site_pattern.pattern_count
         self.pattern_pad = pruning.pad_patterns(S0)
         # Pre-pad tips to the lane-aligned pattern count (padded columns are
         # all-ones "gaps" with weight zero), so the pattern axis can be
         # sharded across a device mesh directly.
-        tips = np.ones((site_pattern.num_taxa, self.pattern_pad, 4))
+        tips = np.ones((site_pattern.num_taxa, self.pattern_pad,
+                        self.num_states))
         tips[:, :S0, :] = site_pattern.tip_partials()
         self.tip_partials = jnp.asarray(tips, dtype=self.dtype)
         w = np.zeros(self.pattern_pad)
@@ -85,7 +90,11 @@ class TreeLikelihoodEngine:
             # (they run per-shard under shard_map); other shapes use the
             # scan tape, whose sharding XLA propagates directly.
             return False
-        if self.kernel in ("pallas", "pallas_interpret"):
+        if self.kernel in ("pallas", "pallas_interpret",
+                           "chunked", "chunked_interpret"):
+            # Explicit kernel choices force the Pallas dispatch branch;
+            # the chunked opt-in was previously unreachable here (advisor
+            # round-4 finding: kernel="chunked" silently ran the scan tape).
             return True
         return (
             self.kernel == "auto"
@@ -113,16 +122,25 @@ class TreeLikelihoodEngine:
         return self.kernel not in ("chunked", "chunked_interpret")
 
     def _padded_categories(self) -> int:
-        """Category count after padding so CA = C*4 is a multiple of 16
+        """Category count after padding so CA = C*A is a multiple of 16
         (bf16 sublane tiles for the paired kernel; the chunked kernel
         needs only a multiple of 8).  Pad categories carry rate 1 and
         proportion 0, so every computed quantity is exactly unchanged;
         this is how constant-site models (CA=4, e.g. the JC69 BASELINE
         config) get the fast kernel instead of silently falling back to
-        the scan tape."""
+        the scan tape.  For A=64 codon models any C already satisfies
+        both alignments (64 % 16 == 0), so no padding happens."""
+        import math
+
         C = self.model.category_count
-        m = 2 if self._use_chunked() else 4
+        req = 8 if self._use_chunked() else 16
+        m = req // math.gcd(self.num_states, req)
         return C if C % m == 0 else C + (-C) % m
+
+    def _padded_CA(self) -> int:
+        """Fused category-state dimension CA = padded_C * A fed to the
+        Pallas kernels (their per-op operand blocks are [2*CA, 2*CA])."""
+        return self._padded_categories() * self.num_states
 
     def _use_chunked(self) -> bool:
         """The chunked level-synchronous kernel (pallas_chunked.py) is an
@@ -136,7 +154,7 @@ class TreeLikelihoodEngine:
     def _chunk_W(self) -> int:
         """Chunk width: 2*W*CA = 128 fills one MXU contraction tile; never
         below 4 so per-chunk gradient-row stores stay 8-aligned."""
-        CA = self._padded_categories() * 4
+        CA = self._padded_CA()
         return max(4, 128 // (2 * CA))
 
     def _pad_model_ingredients(self, eig, rates, props):
@@ -191,15 +209,22 @@ class TreeLikelihoodEngine:
         """(group, s_tile) for the paired gradient kernel.  Measured on v5e
         (DS1, batch 200, round 4): with the Mosaic scoped-VMEM limit
         raised (BITO_PALLAS_VMEM_MB) G=4 at the whole-pad tile edges out
-        G=2 (39.7k vs 37.6k evals/s); the tile caps at 1024 so the
-        interleaved trees' hi/lo partials + scales fit VMEM."""
+        G=2 (39.7k vs 37.6k evals/s); the budget below reproduces the
+        tile<=1024 cap that tuning landed on for CA=16 and scales it for
+        larger state spaces (codon CA=64 carries 4x the scratch per
+        pattern column, so the same VMEM admits a 4x smaller
+        tile x group product)."""
         group = 4 if batch % 4 == 0 else (2 if batch % 2 == 0 else 1)
         tile = self._pallas_s_tile()
-        if group > 1 and tile > 1024:
-            for t in (1024, 512, 256, 128):
-                if self.pattern_pad % t == 0:
+        CA = self._padded_CA()
+        # CA=16 tuning point: G>1 x tile 1024; keep tile*CA*group within
+        # that envelope (tile_budget per interleaved tree ~= 1024*16/CA).
+        cap = max(128, 1024 * 16 // CA)
+        while group > 1 and tile > cap:
+            for t in (cap, cap // 2, 128):
+                if t >= 128 and self.pattern_pad % t == 0:
                     return group, t
-            return 1, tile
+            group //= 2  # no aligned smaller tile: shrink the interleave
         return group, tile
 
     def _pallas_grad_call(self, enc, eig, rates, props, clock, bl):
@@ -220,7 +245,7 @@ class TreeLikelihoodEngine:
                     enc, self._pallas_tips(), self.site_pattern.weights,
                     eig, rates_p, props_p, clock, bl, self.pattern_pad))
             ce, cdst, ctip, cpost_e, cnode_row = self._chunked_encoding(enc)
-            CA = self._padded_categories() * 4
+            CA = self._padded_CA()
             edge_mask = jnp.asarray(enc.edge_mask, jnp.float32)
             if self._pattern_sharding is not None:
                 mesh, ax = self._pattern_sharding
@@ -253,7 +278,7 @@ class TreeLikelihoodEngine:
                     jnp.asarray(enc.edge_mask, jnp.float32),
                     P_blk, dP_blk, tips_flat, pivec, propvec, w,
                     M=pe.M, T=pe.num_taxa,
-                    CA=self._padded_categories() * 4,
+                    CA=self._padded_CA(),
                     n_pair_slots=pe.n_pair_slots, num_slots=enc.num_slots,
                     group=group, interpret=interpret)
             return pallas_paired.paired_ll_and_gradients(
@@ -261,7 +286,7 @@ class TreeLikelihoodEngine:
                 jnp.asarray(enc.edge_mask, jnp.float32),
                 P_blk, dP_blk, tips_flat, pivec, propvec, w,
                 M=pe.M, T=pe.num_taxa,
-                CA=self._padded_categories() * 4,
+                CA=self._padded_CA(),
                 n_pair_slots=pe.n_pair_slots, num_slots=enc.num_slots,
                 s_tile=s_tile, group=group, interpret=interpret)
         kargs = pallas_pruning.prepare_inputs_grad(
@@ -354,17 +379,23 @@ class TreeLikelihoodEngine:
             clock = jnp.asarray(self.model.clock_rate(p), dtype=self.dtype)
             return eig, rates, props, clock
 
-        batched = {}
-        for key, (start, length) in self.model.blocks.items():
-            v = jnp.asarray(params[key])
-            if v.ndim == 1:
-                v = jnp.broadcast_to(v, (batch, length))
-            batched[key] = v
-        if not batched:
-            eig, rates, props, clock = one({})
+        vals = {k: jnp.asarray(params[k]) for k in self.model.blocks}
+        if all(v.ndim == 1 for v in vals.values()):
+            # Shared model: one eigendecomposition, broadcast — not B
+            # identical vmapped ones.  With concrete params (the normal
+            # engine call path; closure constants stay concrete even
+            # inside an outer jit trace) this also lets models with
+            # host-side eigen paths (MG94's float64 61-state eigh,
+            # models/codon.py mg94_eigen) take them.
+            eig, rates, props, clock = one(vals)
             bcast = lambda x: jnp.broadcast_to(x, (batch,) + x.shape)
             return (type(eig)(*(bcast(x) for x in eig)), bcast(rates),
                     bcast(props), bcast(clock))
+        batched = {
+            k: (jnp.broadcast_to(v, (batch, self.model.blocks[k][1]))
+                if v.ndim == 1 else v)
+            for k, v in vals.items()
+        }
         return jax.vmap(one)(batched)
 
     # -- public API ------------------------------------------------------
@@ -425,8 +456,9 @@ class TreeLikelihoodEngine:
                     eig, rates_p, props_p, clock, bl, self.pattern_pad)
                 ce, cdst, ctip, cpost_e, _cnode_row = (
                     self._chunked_encoding(enc))
-                CA = self._padded_categories() * 4
-                interpret = self.kernel == "pallas_interpret"
+                CA = self._padded_CA()
+                interpret = self.kernel in ("pallas_interpret",
+                                            "chunked_interpret")
                 if self._pattern_sharding is not None:
                     mesh, ax = self._pattern_sharding
                     ll = pallas_chunked.chunked_log_likelihoods_sharded(
@@ -460,14 +492,14 @@ class TreeLikelihoodEngine:
                     ll = pallas_paired.paired_log_likelihoods_sharded(
                         mesh, ax, pdst, ptip, P_blk, ppost_e, tips_flat,
                         piprop, w, M=pe.M, T=pe.num_taxa,
-                        CA=self._padded_categories() * 4,
+                        CA=self._padded_CA(),
                         n_pair_slots=pe.n_pair_slots, group=group,
                         interpret=interpret)
                     return ll.astype(self.dtype)
                 ll = pallas_paired.paired_log_likelihoods(
                     pdst, ptip, P_blk, ppost_e, tips_flat, piprop, w,
                     M=pe.M, T=pe.num_taxa,
-                    CA=self._padded_categories() * 4,
+                    CA=self._padded_CA(),
                     n_pair_slots=pe.n_pair_slots,
                     s_tile=ll_tile,
                     group=group, interpret=interpret)
@@ -578,6 +610,31 @@ class TreeLikelihoodEngine:
                 num_slots=enc.num_slots, pattern_pad=self.pattern_pad,
                 category_count=self.model.category_count,
             )
+
+        return fn
+
+    def ll_eval_fn(self, trees: Sequence[Tree],
+                   params: Dict[str, jnp.ndarray]):
+        """LL-only analog of branch_eval_fn: a traceable closure
+        bl[B, N] -> ll[B] bound to this tree batch and the engine's current
+        kernel dispatch (paired Pallas kernel by default on TPU) — so
+        LL-only sweeps measure and serve the same path log_likelihoods
+        dispatches, not a hand-assembled kernel call."""
+        true_b = len(trees)
+        trees, _, _ = self._pad_batch(trees, None)
+        pad = len(trees) != true_b
+        enc = self.encode(trees)
+        if self._use_pallas(self._shared_model(params)):
+            if self._use_chunked():
+                self._chunked_encoding(enc)  # build the tapes outside jit
+            elif self._use_paired():
+                self._paired_encoding(enc)
+
+        def fn(bl):
+            if pad:
+                bl = jnp.concatenate([bl, bl[-1:]], axis=0)
+            return self.log_likelihoods(trees, params,
+                                        branch_lengths=bl)[:true_b]
 
         return fn
 

@@ -227,22 +227,9 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
-def _mask_split(x):
-    """f32 -> (hi, lo) f32 pair via bit truncation (hi keeps the top 16
-    bits, exactly bf16-representable).  astype(bf16) round-trips cannot
-    implement the split: XLA's simplifier folds convert(convert(x, bf16),
-    f32) to x under jit (and interpret-mode Pallas treats the cast as a
-    value no-op), silently zeroing the lo plane."""
-    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    # Round-to-nearest-even on the top 16 bits (NOT truncation): with
-    # truncation |lo| <= 2^-7 |x| and the dropped lo*lo dot term costs
-    # ~2^-14 relative -- the round-3 parity regression.  Rounding keeps
-    # |lo| <= 2^-9 |x|, so the dropped term is ~2^-18.  Pure integer
-    # arithmetic, so neither XLA nor interpret mode can fold it.
-    r = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) \
-        & jnp.uint32(0xFFFF0000)
-    hi = jax.lax.bitcast_convert_type(r, jnp.float32)
-    return hi, x - hi
+# Single round-to-nearest hi/lo split shared with the paired kernel
+# (advisor round-4 finding: four identical copies could silently drift).
+from .pallas_paired import _mask_split, _trunc_split  # noqa: E402
 
 
 def pack_expanded_operands(P_blk, post_e, W: int):
@@ -315,19 +302,6 @@ def _chunk_evolve(Lc_ref, idx, buf, c, W, CA, with_d, Ld_ref=None):
     ev = big[0:n] + big[n:2 * n] + cross[0:n]
     dPp = big[2 * n:3 * n] + big[3 * n:4 * n] + cross[n:2 * n]
     return ev, dPp, (bd_h, bd_l)
-
-
-def _trunc_split(x):
-    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    # Round-to-nearest-even on the top 16 bits (NOT truncation): with
-    # truncation |lo| <= 2^-7 |x| and the dropped lo*lo dot term costs
-    # ~2^-14 relative -- the round-3 parity regression.  Rounding keeps
-    # |lo| <= 2^-9 |x|, so the dropped term is ~2^-18.  Pure integer
-    # arithmetic, so neither XLA nor interpret mode can fold it.
-    r = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) \
-        & jnp.uint32(0xFFFF0000)
-    hi = jax.lax.bitcast_convert_type(r, jnp.float32)
-    return hi, x - hi
 
 
 def _chunk_post(pdst_ref, Lc_ref, buf, ls, g, c, Mc, W, CA):

@@ -159,11 +159,14 @@ def build_paired_encoding(enc) -> PairedEncoding:
 # ---------------------------------------------------------------------------
 
 def _mask_split(x):
-    """f32 -> (hi, lo) f32 pair via bit truncation (hi keeps the top 16
-    bits, exactly bf16-representable).  astype(bf16) round-trips cannot be
-    used for the split: XLA's simplifier folds convert(convert(x, bf16),
-    f32) to x under jit (and interpret-mode Pallas treats the cast as a
-    value no-op), silently zeroing the lo plane."""
+    """f32 -> (hi, lo) f32 pair via integer bit arithmetic: hi keeps the
+    top 16 bits rounded to nearest-even (exactly bf16-representable),
+    lo = x - hi.  astype(bf16) round-trips cannot be used for the split:
+    XLA's simplifier folds convert(convert(x, bf16), f32) to x under jit
+    (and interpret-mode Pallas treats the cast as a value no-op), silently
+    zeroing the lo plane.  This is THE split helper — kernel-safe (pure
+    integer ops, traceable inside Pallas bodies); pallas_chunked imports
+    it rather than keeping a copy that could drift."""
     u = jax.lax.bitcast_convert_type(x, jnp.uint32)
     # Round-to-nearest-even on the top 16 bits (NOT truncation): with
     # truncation |lo| <= 2^-7 |x| and the dropped lo*lo dot term costs
@@ -281,18 +284,8 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _trunc_split(x):
-    """In-kernel hi/lo split; see _mask_split for why bit masking."""
-    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    # Round-to-nearest-even on the top 16 bits (NOT truncation): with
-    # truncation |lo| <= 2^-7 |x| and the dropped lo*lo dot term costs
-    # ~2^-14 relative -- the round-3 parity regression.  Rounding keeps
-    # |lo| <= 2^-9 |x|, so the dropped term is ~2^-18.  Pure integer
-    # arithmetic, so neither XLA nor interpret mode can fold it.
-    r = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) \
-        & jnp.uint32(0xFFFF0000)
-    hi = jax.lax.bitcast_convert_type(r, jnp.float32)
-    return hi, x - hi
+# In-kernel alias for the same split (historical name; one implementation).
+_trunc_split = _mask_split
 
 
 def _split_store(ref_h, ref_l, start, x):

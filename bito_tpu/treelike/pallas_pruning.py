@@ -355,7 +355,7 @@ def prepare_inputs(enc, tip_partials, weights, eig, category_rates,
     from . import pruning
 
     C = category_rates.shape[-1]
-    A = 4
+    A = tip_partials.shape[-1]  # 4 (nucleotide) or 64 (padded codon)
     CA = C * A
     P = pruning.transition_matrices_ext(
         eig, branch_lengths, category_rates, clock_rate
@@ -366,7 +366,7 @@ def prepare_inputs(enc, tip_partials, weights, eig, category_rates,
     tips = tips.at[:, :, :, :S0].set(
         jnp.broadcast_to(
             jnp.swapaxes(tip_partials, 1, 2)[:, None, :, :S0],
-            (T, C, 4, min(S0, pattern_pad)),
+            (T, C, A, min(S0, pattern_pad)),
         )
     )
     tips_flat = tips.reshape(T * CA, pattern_pad)
@@ -385,14 +385,12 @@ def prepare_inputs_grad_q(enc, tip_partials, weights, eig, category_rates,
     dP = rate*clock * Q P identity: one small einsum against the per-tree
     category-block Q instead of a second eigendecomposition pass over
     every edge (~halves the XLA-side gradient prep)."""
-    import numpy as _np
-
     P_blk, tips_flat, _piprop, w = prepare_inputs(
         enc, tip_partials, weights, eig, category_rates,
         category_proportions, clock_rate, branch_lengths, pattern_pad,
     )
     B, C = category_rates.shape
-    A = 4
+    A = eig.U.shape[-1]  # 4 (nucleotide) or 64 (padded codon)
     # HIGHEST precision: TPU einsums default to single-pass bf16 (~2^-8),
     # which put a 4.5e-3 error on every gradient until the bench parity
     # guard caught it.
@@ -431,7 +429,7 @@ def prepare_inputs_grad(enc, tip_partials, weights, eig, category_rates,
     )
     dP_blk = block_diag_transitions(dP).astype(jnp.float32)
     C = category_rates.shape[-1]
-    A = 4
+    A = eig.pi.shape[-1]  # 4 (nucleotide) or 64 (padded codon)
     pivec = jnp.tile(eig.pi[0], C).reshape(1, C * A).astype(jnp.float32)
     propvec = jnp.repeat(category_proportions[0], A).reshape(
         1, C * A

@@ -145,3 +145,127 @@ class TestCodonModel:
                 [topo], blm[None, :], tips, w, model))[0])
             fd = (lp - lm) / (2 * eps)
             assert grads[e] == pytest.approx(fd, rel=1e-5, abs=1e-6)
+
+
+def _synthetic_codon_alignment(taxon_names, n_codons=40, seed=7,
+                               missing_rate=0.05):
+    """Random codon sequences (strings) over the 61 sense codons, with a
+    few missing ('---') and stop ('TAA') triplets to exercise the
+    missing-data path."""
+    rng = np.random.default_rng(seed)
+    out = {}
+    for t in taxon_names:
+        parts = []
+        for _ in range(n_codons):
+            u = rng.random()
+            if u < missing_rate / 2:
+                parts.append("---")
+            elif u < missing_rate:
+                parts.append("TAA")  # stop codon -> treated as missing
+            else:
+                parts.append(cd.SENSE_CODONS[rng.integers(0, 61)])
+        out[t] = "".join(parts)
+    return out
+
+
+class TestCodonProductPath:
+    """MG94 as a product model: PhyloModelSpecification('MG94') +
+    CodonSitePattern + TreeLikelihoodEngine (VERDICT round-4 task 2 —
+    previously codon ran only through free functions)."""
+
+    def _setup(self, data_dir, site="constant"):
+        from bito_tpu.core.site_pattern import CodonSitePattern
+        from bito_tpu.models.phylo_model import (
+            PhyloModel, PhyloModelSpecification)
+        from bito_tpu.treelike.engine import TreeLikelihoodEngine
+
+        coll = parse_newick_file(str(data_dir / "five_taxon_unrooted.nwk"))
+        aln = _synthetic_codon_alignment(coll.taxon_names)
+        sp = CodonSitePattern(aln, coll.taxon_names)
+        spec = PhyloModelSpecification(substitution="MG94", site=site)
+        engine = TreeLikelihoodEngine(sp, PhyloModel(spec))
+        return coll, sp, engine
+
+    def _params(self):
+        import jax.numpy as jnp
+
+        return {
+            "substitution_model_rates": jnp.asarray([2.5, 0.3]),
+            "substitution_model_frequencies": jnp.asarray(
+                [0.3, 0.2, 0.3, 0.2]),
+        }
+
+    def test_codon_site_pattern_compression(self, data_dir):
+        coll, sp, _ = self._setup(data_dir)
+        assert sp.num_taxa == 5
+        assert sp.weights.sum() == sp.site_count == 40
+        tp = sp.tip_partials()
+        assert tp.shape == (5, sp.pattern_count, 64)
+        # pad states always zero; missing columns all-ones over sense
+        assert (tp[:, :, 61:] == 0).all()
+        rows = tp.reshape(-1, 64)
+        sums = rows.sum(axis=1)
+        assert set(np.unique(sums)) <= {1.0, 61.0}
+
+    def test_engine_scan_matches_free_function(self, data_dir):
+        coll, sp, engine = self._setup(data_dir)
+        params = self._params()
+        engine.kernel = "scan"
+        trees = coll.trees
+        for t in trees:
+            t.branch_lengths[:] = np.linspace(
+                0.05, 0.4, t.branch_lengths.shape[0])
+        ll_engine = np.asarray(engine.log_likelihoods(trees, params))
+
+        model = cd.CodonModel(kappa=2.5, omega=0.3,
+                              nuc_freqs=(0.3, 0.2, 0.3, 0.2))
+        enc_topos = [t.topology for t in trees]
+        N = max(t.num_nodes for t in enc_topos)
+        bl = np.zeros((len(trees), N))
+        for b, t in enumerate(trees):
+            bl[b, : t.topology.num_nodes] = t.branch_lengths
+        ll_free = np.asarray(cd.codon_log_likelihoods(
+            enc_topos, bl, sp.tip_partials(), sp.weights, model))
+        np.testing.assert_allclose(ll_engine, ll_free, rtol=1e-9)
+
+    def test_engine_paired_kernel_matches_scan(self, data_dir):
+        """The paired Pallas kernel at CA=64 (interpret mode): the codon
+        MXU route through the product engine."""
+        coll, sp, engine = self._setup(data_dir)
+        params = self._params()
+        trees = coll.trees[:2] * 2  # batch 4
+        for i, t in enumerate(trees):
+            t.branch_lengths[:] = np.linspace(
+                0.05, 0.4 + 0.01 * i, t.branch_lengths.shape[0])
+        engine.kernel = "scan"
+        ll_s = np.asarray(engine.log_likelihoods(trees, params))
+        _, g_s = engine.ll_and_branch_gradients(trees, params)
+        engine.kernel = "pallas_interpret"
+        assert engine._padded_CA() == 64
+        ll_p = np.asarray(engine.log_likelihoods(trees, params))
+        _, g_p = engine.ll_and_branch_gradients(trees, params)
+        np.testing.assert_allclose(ll_p, ll_s, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_p), np.asarray(g_s), rtol=1e-3,
+            atol=1e-4 * np.abs(np.asarray(g_s)).max())
+
+    def test_mg94_traceable_eigen_matches_host(self):
+        """The traceable jnp MG94 eigensystem (used when parameters are
+        traced, e.g. model-parameter gradients) reconstructs the same Q
+        as the concrete float64 host path."""
+        import jax
+        import jax.numpy as jnp
+
+        k, w = 2.5, 0.3
+        freqs = jnp.asarray([0.3, 0.2, 0.3, 0.2])
+        host = cd.mg94_eigen(k, w, freqs)
+
+        def recon(kw):
+            e = cd.mg94_eigen(kw[0], kw[1], freqs)
+            return e.U @ jnp.diag(e.values) @ e.U_inv
+
+        Q_traced = jax.jit(recon)(jnp.asarray([k, w]))
+        Q_host = np.asarray(host.U) @ np.diag(
+            np.asarray(host.values)) @ np.asarray(host.U_inv)
+        np.testing.assert_allclose(np.asarray(Q_traced), Q_host,
+                                   rtol=1e-8, atol=1e-10)

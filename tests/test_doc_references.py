@@ -95,10 +95,23 @@ def test_notes_parity_claims_not_better_than_bench():
     benches = sorted(REPO.glob("BENCH_r*.json"))
     if not benches:
         pytest.skip("no bench record yet")
-    tail = json.loads(benches[-1].read_text()).get("tail", "")
+    record = json.loads(benches[-1].read_text())
+    tail = record.get("tail", "")
     m = re.search(r"LL rel ([0-9.e+-]+), grad rel ([0-9.e+-]+)", tail)
     if not m:
-        pytest.skip("bench tail carries no parity line")
+        # Round 4's record lost its parity line to XLA warning spam and
+        # this guard SKIPPED — guarding nothing (VERDICT round-4 weak #1).
+        # That one record is grandfathered; any newer bench record missing
+        # the parity line (or an unparsed flagship) is a hard failure:
+        # bench.py now re-emits both as its final lines, so absence means
+        # the pipeline broke again.
+        if benches[-1].name <= "BENCH_r04.json":
+            pytest.skip("pre-r05 bench record grandfathered (no parity "
+                        "line; see VERDICT round 4)")
+        assert False, (
+            f"{benches[-1].name} carries no pallas-vs-scan parity line in "
+            f"its tail (and parsed={record.get('parsed')}); bench.py must "
+            f"emit it as one of its final lines")
     measured = min(float(m.group(1)), float(m.group(2)))
     notes = (REPO / "IMPLEMENTATION_NOTES.md").read_text()
     offenders = []

@@ -110,3 +110,54 @@ class TestChunkedKernel:
                     continue
                 # destination grid position must be in a later chunk
                 assert (dst // 2) // W > g // W, (b, g, dst)
+
+
+class TestEngineChunkedRouting:
+    def test_engine_kernel_chunked_interpret_routes_and_matches(
+            self, data_dir):
+        """kernel='chunked_interpret' must actually dispatch the chunked
+        kernel through the engine (advisor round-4 medium finding: the
+        opt-in was unreachable — _use_pallas() returned False for it and
+        the scan tape silently ran) and match the scan tape on both the
+        LL and LL+gradient product entry points."""
+        coll = parse_nexus_file(str(data_dir / "DS1.subsampled_10.t"))
+        seqs = read_fasta(str(data_dir / "DS1.fasta"))
+        sp = SitePattern(seqs, coll.taxon_names)
+        spec = PhyloModelSpecification(substitution="GTR", site="gamma+4")
+        engine = TreeLikelihoodEngine(sp, PhyloModel(spec))
+        trees = coll.trees[:4]
+        params = _params()
+
+        engine.kernel = "chunked_interpret"
+        assert engine._use_pallas(True) and engine._use_chunked()
+        ll_c = np.asarray(engine.log_likelihoods(trees, params))
+        ll_cg, g_c = engine.ll_and_branch_gradients(trees, params)
+
+        engine.kernel = "scan"
+        ll_s = np.asarray(engine.log_likelihoods(trees, params))
+        _, g_s = engine.ll_and_branch_gradients(trees, params)
+
+        np.testing.assert_allclose(ll_c, ll_s, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ll_cg), ll_s, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_c), np.asarray(g_s), rtol=1e-3,
+            atol=1e-4 * np.abs(np.asarray(g_s)).max())
+
+    def test_ll_eval_fn_serves_engine_dispatch(self, data_dir):
+        """ll_eval_fn (the LL-only sweep closure bench config1 drives)
+        matches log_likelihoods through the same kernel selection."""
+        import jax
+        import jax.numpy as jnp
+
+        coll = parse_nexus_file(str(data_dir / "DS1.subsampled_10.t"))
+        seqs = read_fasta(str(data_dir / "DS1.fasta"))
+        sp = SitePattern(seqs, coll.taxon_names)
+        engine = TreeLikelihoodEngine(sp, PhyloModel(
+            PhyloModelSpecification()))
+        trees = coll.trees[:3]  # odd batch exercises the pad path
+        enc = engine.encode(trees + trees[-1:])
+        bl = engine.branch_length_matrix(trees + trees[-1:], enc)[:3]
+        fn = engine.ll_eval_fn(trees, {})
+        ll_fn = np.asarray(jax.jit(fn)(bl))
+        ll_direct = np.asarray(engine.log_likelihoods(trees, {}))
+        np.testing.assert_allclose(ll_fn, ll_direct, rtol=1e-6)

@@ -101,3 +101,44 @@ class TestTPScores:
         after = tp.top_tree_log_likelihoods().mean()
         assert after > before  # scores improve
         assert diffs[-1] < diffs[0] / 2  # branch updates shrink (converging)
+
+
+class TestEdgeIndirectPV:
+    """_EdgeIndirectPV contract (advisor round-4 low finding): non-tuple
+    indexing must not silently expose physical row order, and dense()
+    must materialize logical edge order after growth."""
+
+    def _make(self):
+        import numpy as np
+        from bito_tpu.tp.eval_engine import _EdgeIndirectPV
+
+        store = np.zeros((2, 4, 1, 1))
+        pv = _EdgeIndirectPV(store, np.arange(3))
+        for e in range(3):
+            pv[0, e] = e + 1.0
+        return np, pv
+
+    def test_non_tuple_access_raises(self):
+        np, pv = self._make()
+        import pytest
+
+        with pytest.raises(TypeError):
+            pv[0]
+        with pytest.raises(TypeError):
+            pv[0] = 1.0
+        pv[:] = 0.0  # whole-store reset stays allowed
+        assert float(pv[0, 1]) == 0.0
+
+    def test_dense_is_logical_order_after_growth(self):
+        np, pv = self._make()
+        # Growth that permutes logical ids: old edges 0,1,2 -> 2,0,1 and
+        # one new edge takes logical id 3.
+        pv.grow(np.array([2, 0, 1]), 4)
+        pv[0, 3] = 9.0
+        dense = pv.dense()
+        assert dense.shape[1] == 4
+        got = [float(dense[0, e, 0, 0]) for e in range(4)]
+        # logical 2 holds old edge 0's value (1.0), logical 0 old edge 1
+        # (2.0), logical 1 old edge 2 (3.0), logical 3 the new 9.0
+        assert got == [2.0, 3.0, 1.0, 9.0]
+        assert float(pv[0, 2]) == 1.0
