@@ -120,6 +120,8 @@ class NNIEngine:
         dag = self.dag
         existing = set(dag.build_edge_indexer().keys())
         self.adjacent.clear()
+        if not hasattr(self, "adjacent_source"):
+            self.adjacent_source = {}
         for e in range(dag.edge_count()):
             p_id = int(dag.edge_parent[e])
             c_id = int(dag.edge_child[e])
@@ -136,6 +138,11 @@ class NNIEngine:
                         and key in self.past_rejected):
                     continue
                 self.adjacent[key] = nni
+                # Pre-NNI counterpart (the central edge this NNI swaps):
+                # frozen-q scoring maps each new node to its pre-NNI
+                # subsplit (reference FindNNINeighborInDAG +
+                # CopyOverEdgeDataFromPreNNIToPostNNI).
+                self.adjacent_source[key] = (parent, child)
 
     # -- candidate trees ---------------------------------------------------
     def _candidate_tree(self, nni: NNIOperation) -> Optional[Tree]:
@@ -504,8 +511,19 @@ class GPScoredNNIEngine(NNIEngine):
         # grow, so after the first iterations every engine uses the same
         # program shapes and the shared compiled programs.
         self._gp_caps: Dict[str, int] = {}
+        self.mesh = None  # set via shard_patterns() for multi-chip runs
         self.gp = GPEngine(site_pattern, self.dag, caps=self._gp_caps)
         self.gp.estimate_branch_lengths(1e-3, 10)
+
+    def shard_patterns(self, mesh, axis: str = "sites"):
+        """Run every GP scoring program pattern-sharded over a device mesh
+        (SURVEY P5/P6): the persistent engine and each per-iteration
+        grafted scoring engine place tips/weights with NamedShardings, so
+        candidate scoring scales across chips while the DAG/NNI set
+        machinery stays replicated host state."""
+        self.mesh = mesh
+        self._shard_axis = axis
+        self.gp.shard_patterns(mesh, axis)
 
     def _rebuild_engines(self):
         super()._rebuild_engines()
@@ -527,6 +545,55 @@ class GPScoredNNIEngine(NNIEngine):
                 bl[e] = old_bl[key]
         engine.branch_lengths = jnp.asarray(bl, dtype=engine.dtype)
 
+    def _carry_q(self, engine, keys):
+        """Frozen-prior scoring (reference NNIEvalEngineViaGP: host q stays
+        untouched, each candidate's new edges COPY q from their pre-NNI
+        counterpart edge — src/nni_evaluation_engine.cpp:229-463 with
+        CopyOverEdgeDataFromPreNNIToPostNNI — rather than renormalizing
+        priors over the grafted DAG).  Measured round 5
+        (tests/test_graft_semantics.py): renormalized all-at-once scoring
+        REORDERS candidates vs the truth oracle under shipped priors;
+        with frozen q the ranking matches.  New nodes map to their
+        pre-NNI parent/child subsplits; new edges whose mapped PCSP does
+        not exist in the host keep the grafted prior value."""
+        import jax.numpy as jnp
+
+        host_q = dict(zip(self.gp.dag.pretty_edges(),
+                          np.asarray(self.gp.q)))
+        counterpart = {}
+        for k in keys:
+            nni = self.adjacent[k]
+            src = getattr(self, "adjacent_source", {}).get(k)
+            if src is None:
+                continue
+            counterpart[nni.parent.to_string()] = src[0]
+            counterpart[nni.child.to_string()] = src[1]
+        dag = engine.dag
+        from ..core.bitset import PCSP, Subsplit
+
+        uca = Subsplit.uca(dag.taxon_count)
+        q = np.asarray(engine.q).copy()
+        for e in range(dag.edge_count()):
+            key = dag.pretty_edge(e)
+            if key in host_q:
+                q[e] = host_q[key]
+                continue
+            u = (uca if int(dag.edge_parent[e]) == dag.root_id
+                 else dag.nodes[int(dag.edge_parent[e])])
+            v = dag.nodes[int(dag.edge_child[e])]
+            u2 = counterpart.get(u.to_string(), u)
+            v2 = counterpart.get(v.to_string(), v)
+            try:
+                k2 = PCSP.of_parent_child(u2, v2).pretty()
+            except ValueError:
+                # Mapped endpoints do not form a valid PCSP (the swap
+                # changed which parent clade the child divides); keep the
+                # grafted prior for this edge.
+                continue
+            if k2 in host_q:
+                q[e] = host_q[k2]
+        engine.q = jnp.asarray(q, dtype=engine.dtype)
+
     def score_adjacent_nnis(self) -> Dict[Tuple[str, str], float]:
         from ..dag.graft import graft_node_pairs
         from ..gp.engine import GPEngine
@@ -538,11 +605,14 @@ class GPScoredNNIEngine(NNIEngine):
                  for k in keys]
         grafted, central = graft_node_pairs(self.dag, pairs)
         engine = GPEngine(self.site_pattern, grafted, caps=self._gp_caps)
+        if self.mesh is not None:
+            engine.shard_patterns(self.mesh, self._shard_axis)
         self._carry_branch_lengths(
             engine,
             dict(zip(self.gp.dag.pretty_edges(),
                      np.asarray(self.gp.branch_lengths))),
         )
+        self._carry_q(engine, keys)
         engine.populate_plvs()
         engine.compute_likelihoods()
         ll = engine.per_gpcsp_log_likelihoods()
