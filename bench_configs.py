@@ -160,10 +160,20 @@ def config4_vbpi():
     )
     burro.gradient_step()  # warm up (compiles)
     best = _best_of(lambda: burro.gradient_step(), reps=5)
+    # Per-phase budget (VERDICT round-4 task 6): where the step's
+    # milliseconds actually go.  Timed over 5 steps post-warmup.
+    from bito_tpu.utils.timing import PhaseTimer
+
+    timer = PhaseTimer()
+    for _ in range(5):
+        burro.gradient_step(timer=timer)
+    phases_ms = {k: round(v / 5 * 1e3, 2)
+                 for k, v in timer.totals.items()}
     return {
         "metric": "VBPI DS1 20-particle gradient step",
         "value": round(best * 1e3, 2),
         "unit": "ms/step",
+        "phases_ms": phases_ms,
     }
 
 
@@ -314,7 +324,11 @@ def config6_codon():
                       / jnp.max(jnp.abs(g_s)))
         out["parity_ll_rel"] = rel_ll
         out["parity_grad_rel"] = rel_g
-        assert rel_ll < 5e-5 and rel_g < 5e-4, (rel_ll, rel_g)
+        # Measured after the round-5 uniformization fix: kernel-vs-scan
+        # 2.6e-6 (CPU interpret), f32-vs-f64 5.6e-7 scan / 2.8e-6 pallas.
+        # Before it, f32 codon gradients were off 18x vs f64 (eigen
+        # route's cancellation noise on small P entries).
+        assert rel_ll < 5e-5 and rel_g < 1e-4, (rel_ll, rel_g)
     return out
 
 

@@ -171,6 +171,30 @@ CODON_NT_IDX = np.array(
     [[_BASES.index(c[k]) for k in range(3)] for c in SENSE_CODONS])
 
 
+def mg94_q_padded(kappa, omega, nuc_freqs):
+    """Traceable padded [64, 64] MG94 rate matrix (zero rows/cols on the
+    3 pad states).  Every off-diagonal entry is a PRODUCT of positive
+    factors (pi_j, kappa^ti, omega^nonsyn) — no cancellation — so the
+    f32 build is accurate to rounding even for tiny entries; feeds the
+    uniformized transition-matrix series (models/substitution.py
+    uniformized_stack), the f32-viable route for codon likelihoods."""
+    import jax.numpy as jnp
+
+    f = jnp.asarray(nuc_freqs)
+    pi61 = jnp.prod(f[jnp.asarray(CODON_NT_IDX)], axis=1)
+    pi61 = pi61 / pi61.sum()
+    single = jnp.asarray(SINGLE_MASK)
+    rate = jnp.where(jnp.asarray(TI_MASK), kappa, 1.0) * jnp.where(
+        jnp.asarray(NONSYN_MASK), omega, 1.0)
+    Q = jnp.where(single, rate * pi61[None, :], 0.0)
+    Q = Q - jnp.diag(Q.sum(axis=1))
+    Q = Q / (-jnp.sum(pi61 * jnp.diag(Q)))
+    A = PADDED_STATES
+    n = NUM_CODONS
+    Qp = jnp.zeros((A, A), Q.dtype).at[:n, :n].set(Q)
+    return Qp
+
+
 def mg94_eigen(kappa, omega, nuc_freqs):
     """MG94 padded-64 eigensystem as an EigenDecomp, from (kappa, omega,
     nucleotide frequencies in TCAG order).

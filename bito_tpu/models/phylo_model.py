@@ -81,6 +81,11 @@ class PhyloModel:
     def clock_rate(self, params: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         return self.clock.rate(params)
 
+    def rate_matrix(self, params: Dict[str, jnp.ndarray]):
+        """Padded Q for uniformized transition matrices (codon models);
+        None for models served by the eigen route."""
+        return self.substitution.rate_matrix(params)
+
     @property
     def category_count(self) -> int:
         return self.site.category_count

@@ -351,10 +351,15 @@ class NNIEngine:
         self._grow_dag()
 
     def _grow_dag(self):
-        topologies = [t.topology for t in self.supporting_trees]
-        self.dag = build_dag_from_topologies(
-            topologies, self.dag.taxon_names
-        )
+        from contextlib import nullcontext
+
+        ph = (self.timer.phase if getattr(self, "timer", None) is not None
+              else (lambda name: nullcontext()))
+        with ph("accept.dag_rebuild"):
+            topologies = [t.topology for t in self.supporting_trees]
+            self.dag = build_dag_from_topologies(
+                topologies, self.dag.taxon_names
+            )
         self._rebuild_engines()
 
     # -- state accessors (reference src/nni_engine.hpp:118-213) -----------
@@ -526,14 +531,21 @@ class GPScoredNNIEngine(NNIEngine):
         self.gp.shard_patterns(mesh, axis)
 
     def _rebuild_engines(self):
-        super()._rebuild_engines()
+        from contextlib import nullcontext
+
+        ph = (self.timer.phase if getattr(self, "timer", None) is not None
+              else (lambda name: nullcontext()))
+        with ph("accept.tp_rebuild"):
+            super()._rebuild_engines()
         if hasattr(self, "gp"):
             # Incremental growth: the engine keeps its compiled programs
             # (capacity buckets), carries branch lengths by PCSP and PLVs
             # by subsplit — no per-acceptance reconstruction/recompile
             # (reference GPEngine::GrowPLVs, src/gp_engine.cpp:64-209).
-            self.gp.grow(self.dag)
-            self.gp.estimate_branch_lengths(1e-3, 5)
+            with ph("accept.gp_grow"):
+                self.gp.grow(self.dag)
+            with ph("accept.estimate_bl"):
+                self.gp.estimate_branch_lengths(1e-3, 5)
 
     @staticmethod
     def _carry_branch_lengths(engine, old_bl: Dict[str, float]):
@@ -595,35 +607,49 @@ class GPScoredNNIEngine(NNIEngine):
         engine.q = jnp.asarray(q, dtype=engine.dtype)
 
     def score_adjacent_nnis(self) -> Dict[Tuple[str, str], float]:
+        from contextlib import nullcontext
+
         from ..dag.graft import graft_node_pairs
         from ..gp.engine import GPEngine
 
         if not self.adjacent:
             return {}
+        # Optional per-phase budget: set `self.timer = PhaseTimer()` to
+        # split an iteration into host rebuild vs device scoring
+        # (bench_configs config5 / scripts use this for the committed
+        # GP-NNI cost breakdown).
+        ph = (self.timer.phase if getattr(self, "timer", None) is not None
+              else (lambda name: nullcontext()))
         keys = list(self.adjacent.keys())
         pairs = [(self.adjacent[k].parent, self.adjacent[k].child)
                  for k in keys]
-        grafted, central = graft_node_pairs(self.dag, pairs)
-        engine = GPEngine(self.site_pattern, grafted, caps=self._gp_caps)
-        if self.mesh is not None:
-            engine.shard_patterns(self.mesh, self._shard_axis)
-        self._carry_branch_lengths(
-            engine,
-            dict(zip(self.gp.dag.pretty_edges(),
-                     np.asarray(self.gp.branch_lengths))),
-        )
-        self._carry_q(engine, keys)
-        engine.populate_plvs()
-        engine.compute_likelihoods()
-        ll = engine.per_gpcsp_log_likelihoods()
+        with ph("score.graft_rebuild"):
+            grafted, central = graft_node_pairs(self.dag, pairs)
+        with ph("score.engine_build"):
+            engine = GPEngine(self.site_pattern, grafted,
+                              caps=self._gp_caps)
+            if self.mesh is not None:
+                engine.shard_patterns(self.mesh, self._shard_axis)
+        with ph("score.carry"):
+            self._carry_branch_lengths(
+                engine,
+                dict(zip(self.gp.dag.pretty_edges(),
+                         np.asarray(self.gp.branch_lengths))),
+            )
+            self._carry_q(engine, keys)
+        with ph("score.device"):
+            engine.populate_plvs()
+            engine.compute_likelihoods()
+            ll = np.asarray(engine.per_gpcsp_log_likelihoods())
         out = {k: float(ll[c]) for k, c in zip(keys, central)}
         self.scored.update(out)
         # Candidate trees for DAG growth come from the TP choice maps.
-        self._candidate_trees = {}
-        for k in keys:
-            t = self._candidate_tree(self.adjacent[k])
-            if t is not None:
-                self._candidate_trees[k] = t
+        with ph("score.candidate_trees"):
+            self._candidate_trees = {}
+            for k in keys:
+                t = self._candidate_tree(self.adjacent[k])
+                if t is not None:
+                    self._candidate_trees[k] = t
         out = {k: v for k, v in out.items() if k in self._candidate_trees}
         return out
 

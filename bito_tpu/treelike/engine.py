@@ -109,10 +109,23 @@ class TreeLikelihoodEngine:
         return all(jnp.asarray(params[k]).ndim == 1
                    for k in self.model.blocks)
 
+    def _rate_Q(self, params: Dict[str, jnp.ndarray]):
+        """Shared-model padded rate matrix for the uniformized transition
+        route (codon models; None otherwise).  Per-tree parameter rows
+        fall back to the eigen route."""
+        if not self._shared_model(params):
+            return None
+        return self.model.rate_matrix(params)
+
     def _pallas_tips(self) -> jnp.ndarray:
         if not hasattr(self, "_pallas_tips_cache"):
-            self._pallas_tips_cache = jnp.asarray(
-                self.site_pattern.tip_partials(), jnp.float32)
+            # ensure_compile_time_eval: the first call may happen inside a
+            # caller's jit trace (e.g. a jitted sweep over branch_eval_fn);
+            # without it the cache would capture a tracer and poison every
+            # later trace (UnexpectedTracerError, round-5 codon bench).
+            with jax.ensure_compile_time_eval():
+                self._pallas_tips_cache = jnp.asarray(
+                    self.site_pattern.tip_partials(), jnp.float32)
         return self._pallas_tips_cache
 
     def _use_paired(self) -> bool:
@@ -227,7 +240,8 @@ class TreeLikelihoodEngine:
             group //= 2  # no aligned smaller tile: shrink the interleave
         return group, tile
 
-    def _pallas_grad_call(self, enc, eig, rates, props, clock, bl):
+    def _pallas_grad_call(self, enc, eig, rates, props, clock, bl,
+                          Q=None):
         """Dispatch one LL+branch-gradient evaluation through the selected
         Pallas kernel (chunked level-synchronous by default, the paired or
         original kernel otherwise).  Traceable: safe to call from inside a
@@ -269,7 +283,8 @@ class TreeLikelihoodEngine:
             P_blk, dP_blk, tips_flat, pivec, propvec, w = (
                 pallas_pruning.prepare_inputs_grad_q(
                     enc, self._pallas_tips(), self.site_pattern.weights,
-                    eig, rates_p, props_p, clock, bl, self.pattern_pad))
+                    eig, rates_p, props_p, clock, bl, self.pattern_pad,
+                    Q=Q))
             group, s_tile = self._paired_tiles(enc.batch_size)
             if self._pattern_sharding is not None:
                 mesh, ax = self._pattern_sharding
@@ -479,7 +494,8 @@ class TreeLikelihoodEngine:
                     eig, rates, props)
                 P_blk, tips_flat, piprop, w = pallas_pruning.prepare_inputs(
                     enc, self._pallas_tips(), self.site_pattern.weights,
-                    eig, rates_p, props_p, clock, bl, self.pattern_pad)
+                    eig, rates_p, props_p, clock, bl, self.pattern_pad,
+                    Q=self._rate_Q(params))
                 # Shared (group, tile) policy with the gradient path: the
                 # LL kernel's scratch per interleaved tree is the same
                 # hi/lo planes + scales, so it honors the same VMEM cap
@@ -526,7 +542,7 @@ class TreeLikelihoodEngine:
         return pruning.log_likelihoods_impl(
             jnp.asarray(enc.post_ops), jnp.asarray(enc.root),
             self.tip_partials, self.weights, bl,
-            eig, rates, props, clock,
+            eig, rates, props, clock, self._rate_Q(params),
             num_slots=enc.num_slots, pattern_pad=self.pattern_pad,
             category_count=self.model.category_count,
         )
@@ -547,7 +563,8 @@ class TreeLikelihoodEngine:
         eig, rates, props, clock = self._model_ingredients(params, len(trees))
         if self._use_pallas(self._shared_model(params)):
             ll, grads = self._pallas_grad_call(enc, eig, rates, props,
-                                               clock, bl)
+                                               clock, bl,
+                                               Q=self._rate_Q(params))
             return ll.astype(self.dtype), grads.astype(self.dtype)
         if self.use_leveled:
             lev = self.encode_leveled(trees)
@@ -564,7 +581,7 @@ class TreeLikelihoodEngine:
             jnp.asarray(enc.post_ops), jnp.asarray(enc.pre_ops),
             jnp.asarray(enc.root), jnp.asarray(enc.edge_mask, dtype=self.dtype),
             self.tip_partials, self.weights, bl,
-            eig, rates, props, clock,
+            eig, rates, props, clock, self._rate_Q(params),
             num_slots=enc.num_slots, pattern_pad=self.pattern_pad,
             category_count=self.model.category_count,
         )
@@ -587,11 +604,13 @@ class TreeLikelihoodEngine:
             elif self._use_paired():
                 self._paired_encoding(enc)
 
+            Q = self._rate_Q(params)
+
             def fn(bl):
                 if pad:
                     bl = jnp.concatenate([bl, bl[-1:]], axis=0)
                 ll, grads = self._pallas_grad_call(enc, eig, rates, props,
-                                                   clock, bl)
+                                                   clock, bl, Q=Q)
                 return (ll[:true_b].astype(self.dtype),
                         grads[:true_b].astype(self.dtype))
 
@@ -602,11 +621,13 @@ class TreeLikelihoodEngine:
         root = jnp.asarray(enc.root)
         edge_mask = jnp.asarray(enc.edge_mask, dtype=self.dtype)
 
+        Q = self._rate_Q(params)
+
         def fn(bl):
             return pruning.ll_and_branch_gradients_impl(
                 post_ops, pre_ops, root, edge_mask,
                 self.tip_partials, self.weights, bl,
-                eig, rates, props, clock,
+                eig, rates, props, clock, Q,
                 num_slots=enc.num_slots, pattern_pad=self.pattern_pad,
                 category_count=self.model.category_count,
             )

@@ -236,14 +236,28 @@ def assemble_fwd_L(P_blk, post_e):
     return jnp.concatenate([hi, lo, hi], axis=-1).astype(jnp.bfloat16)
 
 
-def assemble_fwd_LD(P_blk, dP_blk, post_e):
+def assemble_fwd_LD(P_blk, dP_blk, post_e, full_lo: bool = False):
     """[B, M, 4CA, 6CA] bf16: rows [L K-stack; D K-stack], so ONE dot per
     outside op yields both the evolve and the derivative evolve
-    ([ev; dPp] = Lfwd @ [bh; bh; bl])."""
+    ([ev; dPp] = Lfwd @ [bh; bh; bl]).
+
+    full_lo: append a 4th column group [0; dlo] contracted against a 4th
+    right group bl, restoring the lo*lo term of the DERIVATIVE evolve
+    (exact-f32-product 4-pass).  The 3-pass split drops terms ~2^-18
+    relative to sum|dP||p| — harmless for the positive evolve, but the
+    signed dP@p contraction cancels at large state counts and the
+    dropped term amplifies (measured 7e-3 max grad error at codon CA=64
+    vs 6e-6 at CA=16); the 4th pass buys back exact products for one
+    extra third of MXU work in a latency-bound kernel."""
     hi, lo = _bd_hi_lo(P_blk, post_e)
     dhi, dlo = _bd_hi_lo(dP_blk, post_e)
-    top = jnp.concatenate([hi, lo, hi], axis=-1)
-    bot = jnp.concatenate([dhi, dlo, dhi], axis=-1)
+    if full_lo:
+        z = jnp.zeros_like(hi)
+        top = jnp.concatenate([hi, lo, hi, z], axis=-1)
+        bot = jnp.concatenate([dhi, dlo, dhi, dlo], axis=-1)
+    else:
+        top = jnp.concatenate([hi, lo, hi], axis=-1)
+        bot = jnp.concatenate([dhi, dlo, dhi], axis=-1)
     return jnp.concatenate([top, bot], axis=-2).astype(jnp.bfloat16)
 
 
@@ -294,10 +308,13 @@ def _split_store(ref_h, ref_l, start, x):
     ref_l[pl.ds(start, x.shape[0]), :] = lo.astype(ref_l.dtype)
 
 
-def _pair_rights(bufh, bufl, m, CA):
-    """[bh; bh; bl] rights [6CA, S] for the K-stacked forward dot."""
+def _pair_rights(bufh, bufl, m, CA, groups: int = 3):
+    """[bh; bh; bl] rights [6CA, S] for the K-stacked forward dot
+    (groups=4 appends a second bl group for the full_lo operand)."""
     bh = bufh[pl.ds(2 * m * CA, 2 * CA), :]
     bl = bufl[pl.ds(2 * m * CA, 2 * CA), :]
+    if groups == 4:
+        return jnp.concatenate([bh, bh, bl, bl], axis=0)
     return jnp.concatenate([bh, bh, bl], axis=0)
 
 
@@ -307,7 +324,8 @@ def _pair_evolve(Lref, idx, bufh, bufl, m, CA):
     both the LL operand ([2CA, 6CA]) and the grad operand ([4CA, 6CA],
     whose derivative rows the post pass does not need)."""
     Lst = Lref[0, idx]
-    return _dot(Lst[0:2 * CA], _pair_rights(bufh, bufl, m, CA))
+    groups = Lst.shape[-1] // (2 * CA)
+    return _dot(Lst[0:2 * CA], _pair_rights(bufh, bufl, m, CA, groups))
 
 
 def _post_op(pdst_ref, Lpost_ref, bufh, bufl, ls, g, m, M, CA, rescale):
@@ -342,7 +360,9 @@ def _pre_op(pdst_ref, psrc_ref, Lfwd_ref, Lup_ref,
     idx = g * M + m
     # ONE K-stacked dot produces the evolve AND the derivative evolve
     # (assemble_fwd_LD): the kernel's issue cost is its dot count.
-    fwd = _dot(Lfwd_ref[0, idx], _pair_rights(bufh, bufl, m, CA))
+    Lst = Lfwd_ref[0, idx]
+    fwd = _dot(Lst, _pair_rights(bufh, bufl, m, CA,
+                                 Lst.shape[-1] // (2 * CA)))
     ev = fwd[0:2 * CA]
     dPp = fwd[2 * CA:4 * CA]
     dst = pdst_ref[0, 0, idx]
@@ -597,7 +617,11 @@ def _paired_grad_rows(
     G = _pick_group(B, group)
     NS = n_pair_slots
     NPg = _rup(num_slots + 1, 8)
-    Lfwd = assemble_fwd_LD(P_blk, dP_blk, post_e)
+    # Large state spaces (codon CA=64) need the 4th (lo*lo) derivative
+    # pass: the signed dP@p contraction cancels and amplifies the 3-pass
+    # truncation ~1000x (7e-3 measured).  CA=16 keeps the measured-fast
+    # 3-pass (6e-6 parity, BENCH_r04).
+    Lfwd = assemble_fwd_LD(P_blk, dP_blk, post_e, full_lo=(CA > 16))
     Lup = assemble_up_L(P_blk, post_e)
     tipsb = _tips_bf16(tips_flat)
     w2 = weights.reshape(1, S)
@@ -613,7 +637,7 @@ def _paired_grad_rows(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, G * M, 2), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, G * M, 4 * CA, 6 * CA),
+            pl.BlockSpec((1, G * M, 4 * CA, Lfwd.shape[-1]),
                          lambda b, s: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G * M, 6 * CA, 2 * CA),
@@ -648,7 +672,7 @@ def _paired_grad_rows(
     )(post_dst.reshape(B // G, 1, G * M),
       tip_slot.reshape(B // G, 1, G * T),
       post_src.reshape(B // G, G * M, 2),
-      Lfwd.reshape(B // G, G * M, 4 * CA, 6 * CA),
+      Lfwd.reshape(B // G, G * M, 4 * CA, Lfwd.shape[-1]),
       Lup.reshape(B // G, G * M, 6 * CA, 2 * CA),
       tipsb, pivec, propvec, w2)
     return ll.reshape(B, S), wgrad.reshape(B, NPg, S)

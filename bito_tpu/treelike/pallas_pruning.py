@@ -349,16 +349,18 @@ def pallas_ll_and_gradients(
 
 def prepare_inputs(enc, tip_partials, weights, eig, category_rates,
                    category_proportions, clock_rate, branch_lengths,
-                   pattern_pad: int):
+                   pattern_pad: int, Q=None):
     """Host-side packing for the kernel from the standard engine inputs.
-    tip_partials: [T, S0, A]; returns kernel args."""
+    tip_partials: [T, S0, A]; returns kernel args.  Q (shared [A, A])
+    routes transition matrices through uniformization (codon models —
+    see pruning.transition_matrices_ext)."""
     from . import pruning
 
     C = category_rates.shape[-1]
     A = tip_partials.shape[-1]  # 4 (nucleotide) or 64 (padded codon)
     CA = C * A
     P = pruning.transition_matrices_ext(
-        eig, branch_lengths, category_rates, clock_rate
+        eig, branch_lengths, category_rates, clock_rate, Q=Q
     )  # [B, N+1, C, A, A]
     P_blk = block_diag_transitions(P).astype(jnp.float32)
     T, S0, _ = tip_partials.shape
@@ -380,14 +382,20 @@ def prepare_inputs(enc, tip_partials, weights, eig, category_rates,
 
 def prepare_inputs_grad_q(enc, tip_partials, weights, eig, category_rates,
                           category_proportions, clock_rate, branch_lengths,
-                          pattern_pad: int):
+                          pattern_pad: int, Q=None):
     """prepare_inputs_grad with the derivative matrices built from the
     dP = rate*clock * Q P identity: one small einsum against the per-tree
     category-block Q instead of a second eigendecomposition pass over
-    every edge (~halves the XLA-side gradient prep)."""
+    every edge (~halves the XLA-side gradient prep).
+
+    Q (shared [A, A], optional): use the model's structural rate matrix
+    directly (and uniformized P) instead of reconstructing Q from the
+    eigensystem — for codon models the eigen reconstruction's signed
+    cancellation makes small Q/P entries f32 noise (round-5 finding)."""
     P_blk, tips_flat, _piprop, w = prepare_inputs(
         enc, tip_partials, weights, eig, category_rates,
         category_proportions, clock_rate, branch_lengths, pattern_pad,
+        Q=Q,
     )
     B, C = category_rates.shape
     A = eig.U.shape[-1]  # 4 (nucleotide) or 64 (padded codon)
@@ -395,11 +403,14 @@ def prepare_inputs_grad_q(enc, tip_partials, weights, eig, category_rates,
     # which put a 4.5e-3 error on every gradient until the bench parity
     # guard caught it.
     hp = jax.lax.Precision.HIGHEST
-    Q = jnp.einsum("bij,bj,bjk->bik", eig.U, eig.values, eig.U_inv,
-                   precision=hp)
+    if Q is not None:
+        Qb = jnp.broadcast_to(Q.astype(P_blk.dtype), (B, A, A))
+    else:
+        Qb = jnp.einsum("bij,bj,bjk->bik", eig.U, eig.values, eig.U_inv,
+                        precision=hp)
     QC = jnp.einsum("bc,bik->bcik",
-                    category_rates * clock_rate[:, None], Q)  # [B,C,A,A]
-    eye = jnp.eye(C, dtype=Q.dtype)
+                    category_rates * clock_rate[:, None], Qb)  # [B,C,A,A]
+    eye = jnp.eye(C, dtype=Qb.dtype)
     Qcat = jnp.einsum("bcik,cd->bcidk", QC, eye).reshape(
         B, C * A, C * A).astype(jnp.float32)
     dP_blk = jnp.einsum("bij,bnjk->bnik", Qcat, P_blk, precision=hp)

@@ -45,14 +45,45 @@ def _evolve_t(P_row, o_row):
 
 def transition_matrices_ext(
     eig: EigenDecomp, branch_lengths: jnp.ndarray, category_rates: jnp.ndarray,
-    clock_rate: jnp.ndarray, derivative: bool = False,
+    clock_rate: jnp.ndarray, derivative: bool = False, Q=None,
 ) -> jnp.ndarray:
     """[B, N] branch lengths -> [B, N+1, C, A, A] transition matrices with an
     identity (or zero, for derivatives) appended at index N.
 
     All model ingredients are per-tree batched (the analog of the reference's
     per-tree phylo_model_params_ rows, src/fat_beagle.hpp:151-184):
-    eig fields lead with B, category_rates is [B, C], clock_rate is [B]."""
+    eig fields lead with B, category_rates is [B, C], clock_rate is [B].
+
+    Q (optional, [A, A], shared across the batch): switch to the
+    positivity-preserving uniformization route — required for f32 codon
+    models, whose eigen-reconstructed P(t) small entries are cancellation
+    noise (measured 18x gradient error on DS1 codon data; see
+    models/substitution.py uniformized_stack).  Derivatives then come
+    from the exact identity dP/dbl = rate*clock * Q @ P(t)."""
+    if Q is not None:
+        from ..models.substitution import (
+            uniformized_stack,
+            uniformized_transition_matrices,
+        )
+
+        stack, qmax = uniformized_stack(Q.astype(branch_lengths.dtype))
+
+        def one_u(bl_b, rates_b, clock_b):
+            t = bl_b[:, None] * rates_b * clock_b  # [N, C]
+            return uniformized_transition_matrices(stack, qmax, t)
+
+        P = jax.vmap(one_u)(branch_lengths, category_rates, clock_rate)
+        if derivative:
+            P = jnp.einsum(
+                "ab,nmcbs->nmcas", Q.astype(P.dtype), P,
+                precision=Precision,
+            ) * (category_rates[:, None, :, None, None]
+                 * clock_rate[:, None, None, None, None])
+        B, _, C, A, _ = P.shape
+        pad = jnp.zeros((B, 1, C, A, A), P.dtype)
+        if not derivative:
+            pad = pad + jnp.eye(A, dtype=P.dtype)
+        return jnp.concatenate([P, pad], axis=1)
 
     def one(eig_b, bl_b, rates_b, clock_b):
         t = bl_b[:, None] * rates_b * clock_b  # [N, C]
@@ -251,11 +282,13 @@ def pad_patterns(n: int, multiple: int = 128) -> int:
 def log_likelihoods_impl(
     post_ops, root, tip_partials, weights, branch_lengths,
     eig: EigenDecomp, category_rates, category_proportions, clock_rate,
+    Q=None,
     *, num_slots: int, pattern_pad: int, category_count: int, rescale: bool = True,
 ):
     """Per-tree log likelihoods for a batch.  Returns [B]."""
     B = branch_lengths.shape[0]
-    P = transition_matrices_ext(eig, branch_lengths, category_rates, clock_rate)
+    P = transition_matrices_ext(eig, branch_lengths, category_rates,
+                                clock_rate, Q=Q)
     buf, logs = init_partials(tip_partials, B, num_slots, category_count,
                               pattern_pad)
     buf, logs = postorder_pass(post_ops, P, buf, logs, rescale=rescale)
@@ -269,13 +302,15 @@ def log_likelihoods_impl(
 def ll_and_branch_gradients_impl(
     post_ops, pre_ops, root, edge_mask, tip_partials, weights, branch_lengths,
     eig: EigenDecomp, category_rates, category_proportions, clock_rate,
+    Q=None,
     *, num_slots: int, pattern_pad: int, category_count: int, rescale: bool = True,
 ):
     """Log likelihood + d logL / d branch lengths.  Returns ([B], [B, N])."""
     B = branch_lengths.shape[0]
-    P = transition_matrices_ext(eig, branch_lengths, category_rates, clock_rate)
-    dP = transition_matrices_ext(eig, branch_lengths, category_rates, clock_rate,
-                                 derivative=True)
+    P = transition_matrices_ext(eig, branch_lengths, category_rates,
+                                clock_rate, Q=Q)
+    dP = transition_matrices_ext(eig, branch_lengths, category_rates,
+                                 clock_rate, derivative=True, Q=Q)
     buf, logs = init_partials(tip_partials, B, num_slots, category_count,
                               pattern_pad)
     buf, logs = postorder_pass(post_ops, P, buf, logs, rescale=rescale)

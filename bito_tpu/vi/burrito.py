@@ -77,28 +77,47 @@ class Burrito:
             for tree in self.inst.tree_collection.trees
         ]
 
-    def gradient_step(self, beta_t=1.0):
-        px_branch_lengths = self.sample_topologies(self.particle_count)
-        px_branch_representation = self.branch_model.px_branch_representation()
-        (px_theta_sample, dg_dpsi, dlog_qg_dpsi,
-         ) = self.branch_model.sample_and_gradients(px_branch_representation)
-        for i, branch_lengths in enumerate(px_branch_lengths):
-            branch_lengths[:] = px_theta_sample[i, :]
-        phylo_gradients = self.inst.phylo_gradients()
-        scalar_grad = self.branch_model.scalar_grad(
-            px_theta_sample, phylo_gradients, px_branch_representation,
-            dg_dpsi, dlog_qg_dpsi,
-        )
-        px_phylo_log_like = beta_t * np.array(
-            [g.log_likelihood_ for g in phylo_gradients]
-        )
-        px_log_f = self.px_log_f(
-            px_phylo_log_like, px_theta_sample, px_branch_representation
-        )
-        sbn_grad = self.inst.topology_gradients(px_log_f, self.use_vimco)
-        self.opt.gradient_step(
-            {"scalar_params": scalar_grad, "sbn_params": sbn_grad}
-        )
+    def gradient_step(self, beta_t=1.0, timer=None):
+        """One VBPI step (reference vip/burrito.py:84-117).  Pass a
+        utils.timing.PhaseTimer as `timer` to get the per-phase budget
+        (sampling / representations / branch sampling / device LL+grad /
+        scalar grads / topology grads / Adam) — the committed VBPI-step
+        breakdown in BENCH_CONFIGS config4 comes from this hook."""
+        from contextlib import nullcontext
+
+        ph = (timer.phase if timer is not None
+              else (lambda name: nullcontext()))
+        with ph("sample_topologies"):
+            px_branch_lengths = self.sample_topologies(self.particle_count)
+        with ph("branch_representation"):
+            px_branch_representation = (
+                self.branch_model.px_branch_representation())
+        with ph("branch_sample"):
+            (px_theta_sample, dg_dpsi, dlog_qg_dpsi,
+             ) = self.branch_model.sample_and_gradients(
+                px_branch_representation)
+            for i, branch_lengths in enumerate(px_branch_lengths):
+                branch_lengths[:] = px_theta_sample[i, :]
+        with ph("device_ll_grad"):
+            phylo_gradients = self.inst.phylo_gradients()
+        with ph("scalar_grad"):
+            scalar_grad = self.branch_model.scalar_grad(
+                px_theta_sample, phylo_gradients, px_branch_representation,
+                dg_dpsi, dlog_qg_dpsi,
+            )
+            px_phylo_log_like = beta_t * np.array(
+                [g.log_likelihood_ for g in phylo_gradients]
+            )
+        with ph("px_log_f"):
+            px_log_f = self.px_log_f(
+                px_phylo_log_like, px_theta_sample, px_branch_representation
+            )
+        with ph("topology_gradients"):
+            sbn_grad = self.inst.topology_gradients(px_log_f, self.use_vimco)
+        with ph("adam"):
+            self.opt.gradient_step(
+                {"scalar_params": scalar_grad, "sbn_params": sbn_grad}
+            )
 
     def gradient_steps(self, step_count, track_elbo=True):
         betas = np.maximum(

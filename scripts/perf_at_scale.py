@@ -1,0 +1,109 @@
+"""At-scale growth-path stress benchmark (VERDICT round-4 task 5).
+
+Builds the DS1 100-topology support DAG (data/DS1.100_topologies.nwk,
+27 taxa — the largest DAG the reference ships data for) and measures the
+terms the six_taxon config cannot see:
+
+  - DAG build + GP engine build (host schedule/prior construction)
+  - populate + per-PCSP likelihoods per pass (device)
+  - one branch-optimization sweep (device)
+  - adjacent-NNI enumeration (host), graft rebuild of the DAG with ALL
+    candidates, grafted engine build, carry, device scoring pass
+  - host-rebuild share of a full GP-scored NNI scoring iteration
+
+Decision anchor (VERDICT task 5): if the host rebuild exceeds ~25% of a
+GP-NNI iteration at this scale, the spare-scratch graft overlay gets
+built next round.  Run alone (one TPU process at a time).
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+DATA = "/root/reference/data"
+
+
+def best_of(fn, reps=3):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    import numpy as np
+
+    from bito_tpu.api.gp import gp_instance
+    from bito_tpu.dag.graft import graft_node_pairs
+    from bito_tpu.gp.engine import GPEngine
+    from bito_tpu.core.site_pattern import SitePattern
+    from bito_tpu.nni.engine import GPScoredNNIEngine
+    from bito_tpu.utils.timing import PhaseTimer
+
+    out = {}
+    inst = gp_instance("")
+    inst.read_fasta_file(f"{DATA}/DS1.fasta")
+    inst.read_newick_file(f"{DATA}/DS1.100_topologies.nwk")
+    t0 = time.perf_counter()
+    inst.make_dag()
+    out["dag_build_s"] = round(time.perf_counter() - t0, 3)
+    dag = inst.get_dag()
+    out["nodes"] = dag.node_count()
+    out["edges"] = dag.edge_count()
+
+    t0 = time.perf_counter()
+    inst.make_gp_engine()
+    out["engine_build_s"] = round(time.perf_counter() - t0, 3)
+    eng = inst.get_gp_engine()
+
+    def populate_pass():
+        eng.populate_plvs()
+        eng.compute_likelihoods()
+        np.asarray(eng.per_gpcsp_log_likelihoods())
+
+    populate_pass()  # compile
+    out["populate_per_pcsp_ms"] = round(best_of(populate_pass) * 1e3, 1)
+
+    def opt_sweep():
+        eng.optimize_branch_lengths_once()
+        np.asarray(eng.branch_lengths)
+
+    t0 = time.perf_counter()
+    opt_sweep()
+    out["opt_compile_s"] = round(time.perf_counter() - t0, 1)
+    out["opt_sweep_ms"] = round(best_of(opt_sweep) * 1e3, 1)
+
+    # GP-scored NNI scoring pass at scale, phase-split.
+    sp = SitePattern(inst.alignment, inst.tree_collection.taxon_names)
+    t0 = time.perf_counter()
+    nni = GPScoredNNIEngine(dag, sp, inst.tree_collection.trees)
+    out["nni_engine_build_s"] = round(time.perf_counter() - t0, 1)
+    nni.timer = PhaseTimer()
+    t0 = time.perf_counter()
+    nni.sync_adjacent_nnis_with_dag()
+    out["adjacent_sync_s"] = round(time.perf_counter() - t0, 2)
+    out["adjacent_count"] = len(nni.adjacent)
+
+    t0 = time.perf_counter()
+    nni.score_adjacent_nnis()
+    out["first_score_pass_s"] = round(time.perf_counter() - t0, 1)
+    # Second pass = warm numbers (compiles done).
+    nni.timer = PhaseTimer()
+    nni.scored.clear()
+    t0 = time.perf_counter()
+    nni.score_adjacent_nnis()
+    warm = time.perf_counter() - t0
+    out["warm_score_pass_s"] = round(warm, 2)
+    phases = {k: round(v, 3) for k, v in nni.timer.totals.items()}
+    out["score_phases_s"] = phases
+    host = sum(v for k, v in nni.timer.totals.items()
+               if k != "score.device")
+    out["host_rebuild_share_pct"] = round(100 * host / warm, 1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
