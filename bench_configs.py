@@ -267,7 +267,9 @@ def config6_codon():
         "substitution_model_frequencies": jnp.asarray(
             [0.3, 0.2, 0.3, 0.2]),
     }
-    batch = int(os.environ.get("BENCH_CODON_BATCH", "64"))
+    # Batch 128 is the measured sweet spot for the codon scan route on
+    # v5e (round-5 sweep: 8.9k at 128 vs 7.3k at 64 vs 8.5k at 256).
+    batch = int(os.environ.get("BENCH_CODON_BATCH", "128"))
     trees = [coll.trees[i % len(coll.trees)] for i in range(batch)]
     iters = 10
     enc = engine.encode(trees)
@@ -313,8 +315,11 @@ def config6_codon():
     }
     # On-device kernel-vs-scan parity (the codon analog of the flagship
     # parity guard; interpret-mode CPU tests cannot see TPU bf16 issues).
-    if engine._use_pallas(True):
+    # The codon auto route is the scan tape (measured faster at CA=64);
+    # the paired kernel stays a supported forced path, so pin both.
+    if jax.default_backend() == "tpu":
         sub = trees[:4]
+        engine.kernel = "pallas"
         ll_p, g_p = engine.ll_and_branch_gradients(sub, params)
         engine.kernel = "scan"
         ll_s, g_s = engine.ll_and_branch_gradients(sub, params)

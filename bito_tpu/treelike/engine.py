@@ -101,6 +101,13 @@ class TreeLikelihoodEngine:
             and jax.default_backend() == "tpu"
             and self.dtype == jnp.float32
             and shared_model
+            # Codon (A=64): the scan tape beats the paired kernel on v5e
+            # (8.9k vs 7.0k evals/s at batch 128, round 5) — at CA=64 the
+            # batched evolves are real MXU matmuls and XLA's pipelining
+            # wins over the kernel's VMEM-capped operand re-streaming.
+            # The 4-state latency-bound regime is the opposite (39k
+            # paired vs 11k scan).  kernel="pallas" still forces it.
+            and self.num_states == 4
         )
 
     def _shared_model(self, params: Dict[str, jnp.ndarray]) -> bool:

@@ -33,14 +33,26 @@ from ..models.substitution import (
 Precision = jax.lax.Precision.HIGHEST
 
 
+def _evolve_precision(A: int):
+    """Evolve-dot precision by state count.  At A=64 the 6-pass HIGHEST
+    evolve is pure MXU overhead on a bandwidth-bound path: HIGH (3-pass
+    bf16) measured +12% codon throughput at 7.2e-6 parity vs HIGHEST on
+    v5e (round 5) — the contractions are sums of positives, so the
+    3-pass split's dropped lo*lo term stays relative.  A=4 keeps
+    HIGHEST (cheap there, and the Pallas parity baselines pin it)."""
+    return jax.lax.Precision.HIGH if A >= 64 else Precision
+
+
 def _evolve(P_row, p_row):
     """[C,A,A] @ [C,A,S] -> [C,A,S]."""
-    return jnp.einsum("cab,cbs->cas", P_row, p_row, precision=Precision)
+    return jnp.einsum("cab,cbs->cas", P_row, p_row,
+                      precision=_evolve_precision(P_row.shape[-1]))
 
 
 def _evolve_t(P_row, o_row):
     """transpose evolve: [C,A,A]^T @ [C,A,S] -> [C,A,S]."""
-    return jnp.einsum("cab,cas->cbs", P_row, o_row, precision=Precision)
+    return jnp.einsum("cab,cas->cbs", P_row, o_row,
+                      precision=_evolve_precision(P_row.shape[-1]))
 
 
 def transition_matrices_ext(
@@ -230,6 +242,71 @@ def preorder_pass(
     return outside
 
 
+def preorder_gradients_fused(
+    pre_ops: jnp.ndarray,   # [B, Mp, 6]
+    P: jnp.ndarray,         # [B, N+1, C, A, A]
+    dP: jnp.ndarray,        # [B, N+1, C, A, A]
+    partials: jnp.ndarray,  # [B, N+1, C, A, S] (postorder results)
+    root: jnp.ndarray,      # [B]
+    pi: jnp.ndarray,
+    category_proportions: jnp.ndarray,  # [B, C]
+    weights: jnp.ndarray,               # [S]
+    rescale: bool = True,
+) -> jnp.ndarray:
+    """Preorder pass with the per-edge gradient reduction FUSED into each
+    step: the [B, N+1, C, A, S] outside buffer never round-trips to HBM
+    and the evolved/devolved [B, N, C, A, S] intermediates of
+    branch_length_gradients are never materialized — each op reduces its
+    own num/den to [B, S] on the spot.  The scan path is HBM-bandwidth
+    bound at codon scale (measured ~76% of v5e peak, round 5); this
+    fusion removes ~1/3 of the bytes.  Returns grads [B, N+1] (caller
+    masks and trims)."""
+
+    B, N1, C, A, S = partials.shape
+    upper = jnp.zeros_like(partials)
+    upper = jax.vmap(
+        lambda up_b, root_b, pi_b: up_b.at[root_b].set(
+            jnp.broadcast_to(pi_b[None, :, None],
+                             (C, A, S)).astype(up_b.dtype))
+    )(upper, root, pi)
+    grads = jnp.zeros((B, N1), partials.dtype)
+
+    def step(carry, ops):
+        up, g = carry
+
+        def one(up_b, g_b, buf_b, P_b, dP_b, props_b, op):
+            dest, parent, s1, e1, s2, e2 = (
+                op[0], op[1], op[2], op[3], op[4], op[5],
+            )
+            o = up_b[parent] * _evolve(P_b[e1], buf_b[s1]) * _evolve(
+                P_b[e2], buf_b[s2]
+            )
+            if rescale:
+                mx = jnp.max(o, axis=(0, 1))
+                mx = jnp.where(mx > 0, mx, 1.0)
+                o = o / mx
+            p_dest = buf_b[dest]
+            den = jnp.einsum("c,cas->s", props_b,
+                             o * _evolve(P_b[dest], p_dest),
+                             precision=Precision)
+            num = jnp.einsum("c,cas->s", props_b,
+                             o * _evolve(dP_b[dest], p_dest),
+                             precision=Precision)
+            ratio = num / jnp.where(den > 0, den, 1.0)
+            gval = jnp.dot(weights, ratio, precision=Precision)
+            q = _evolve_t(P_b[dest], o)
+            return up_b.at[dest].set(q), g_b.at[dest].set(gval)
+
+        up, g = jax.vmap(one)(up, g, partials, P, dP,
+                              category_proportions, ops)
+        return (up, g), None
+
+    (_, grads), _ = jax.lax.scan(
+        step, (upper, grads), jnp.moveaxis(pre_ops, 1, 0)
+    )
+    return grads
+
+
 def branch_length_gradients(
     outside: jnp.ndarray,      # [B, N+1, C, A, S]
     partials: jnp.ndarray,     # [B, N+1, C, A, S]
@@ -298,14 +375,21 @@ def log_likelihoods_impl(
 
 
 @functools.partial(jax.jit, static_argnames=("num_slots", "pattern_pad",
-                                             "category_count", "rescale"))
+                                             "category_count", "rescale",
+                                             "fused"))
 def ll_and_branch_gradients_impl(
     post_ops, pre_ops, root, edge_mask, tip_partials, weights, branch_lengths,
     eig: EigenDecomp, category_rates, category_proportions, clock_rate,
     Q=None,
-    *, num_slots: int, pattern_pad: int, category_count: int, rescale: bool = True,
+    *, num_slots: int, pattern_pad: int, category_count: int,
+    rescale: bool = True, fused: bool = True,
 ):
-    """Log likelihood + d logL / d branch lengths.  Returns ([B], [B, N])."""
+    """Log likelihood + d logL / d branch lengths.  Returns ([B], [B, N]).
+
+    fused=True (default) computes the per-edge gradient reductions inside
+    the preorder scan (preorder_gradients_fused) — mathematically
+    identical to the materialized outside-buffer path, ~1/3 fewer HBM
+    bytes (the scan path is bandwidth-bound at codon scale, round 5)."""
     B = branch_lengths.shape[0]
     P = transition_matrices_ext(eig, branch_lengths, category_rates,
                                 clock_rate, Q=Q)
@@ -317,6 +401,12 @@ def ll_and_branch_gradients_impl(
     per_pattern = root_log_likelihood(buf, logs, root, eig.pi,
                                       category_proportions)
     ll = per_pattern @ weights
+    if fused:
+        gfull = preorder_gradients_fused(
+            pre_ops, P, dP, buf, root, eig.pi, category_proportions,
+            weights, rescale=rescale)
+        N = edge_mask.shape[1]
+        return ll, gfull[:, :N] * edge_mask
     outside = preorder_pass(pre_ops, P, buf, root, eig.pi, rescale=rescale)
     grads = branch_length_gradients(
         outside, buf, P, dP, category_proportions, weights, edge_mask,
