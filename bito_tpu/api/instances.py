@@ -22,6 +22,7 @@ import csv as _csv
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.newick import (
@@ -382,6 +383,9 @@ class GenericSBNInstance:
         ll, grads = self.engine.ll_and_branch_gradients(
             trees, self._params_dict()
         )
+        # One device sync for both outputs (each np.asarray would pay a
+        # ~33 ms tunnel round-trip here; round-5 VBPI phase budget).
+        ll, grads = jax.device_get((ll, grads))
         ll = np.asarray(ll)
         grads = np.asarray(grads)
         out = []
@@ -569,6 +573,10 @@ class RootedSBNInstance(GenericSBNInstance):
         ll, grads = self.engine.ll_and_branch_gradients(
             trees, self._params_dict(), branch_lengths=bl
         )
+        # ONE device sync for both outputs: sequential np.asarray calls
+        # each pay a full device round-trip (~33 ms through this
+        # environment's TPU tunnel; round-5 VBPI phase budget).
+        ll, grads = jax.device_get((ll, grads))
         ll = np.asarray(ll)
         grads = np.asarray(grads)
         model_grads = (

@@ -362,13 +362,19 @@ def _sweep_impl(idx, plv, ls, blc, qc, weights, *, method):
 class GPEngine:
     def __init__(self, site_pattern: SitePattern, dag: SubsplitDAG,
                  dtype=None, optimization_method: str = "brent",
-                 caps: Optional[Dict[str, int]] = None):
+                 caps: Optional[Dict[str, int]] = None,
+                 headroom: int = 1):
         """`caps` optionally shares a capacity-bucket dict with other
         engines (e.g. an NNI loop's per-iteration grafted scorers): buckets
         only grow, so engines sharing the dict converge onto one set of
-        program shapes and hence one compiled program set."""
+        program shapes and hence one compiled program set.  `headroom` > 1
+        makes every cap ratchet jump that factor past the current need —
+        set it on engines whose DAG will keep growing (NNI loops), so a
+        ratchet event buys headroom x growth instead of recompiling again
+        next acceptance."""
         self.site_pattern = site_pattern
         self.dag = dag
+        self._headroom = headroom
         self.optimization_method = optimization_method
         self.dtype = dtype or jnp.zeros(0).dtype
         self.schedule = build_schedule(dag)
@@ -391,7 +397,7 @@ class GPEngine:
         # shapes across DAG growth; the public `branch_lengths` / `q`
         # properties expose true-size views.
         self._caps: Dict[str, int] = caps if caps is not None else {}
-        self._prepare_index_arrays()
+        self._prepare_index_arrays(headroom=self._headroom)
         E = self.schedule.edge_count
         ecap = self._caps["e"]
         self._qc = jnp.zeros((ecap,), self.dtype).at[:E].set(
@@ -437,7 +443,7 @@ class GPEngine:
     # module-level _populate_impl/_likelihoods_impl/_sweep_impl and are
     # reused whenever the capacity bucket — hence every shape — matches)
     # ------------------------------------------------------------------
-    def _prepare_index_arrays(self):
+    def _prepare_index_arrays(self, headroom: int = 1):
         sch = self.schedule
         caps = self._caps
         N, E, R = sch.node_count, sch.edge_count, len(sch.rootsplit_nodes)
@@ -452,7 +458,19 @@ class GPEngine:
             return b
 
         def need(key, value, m):
-            caps[key] = max(caps.get(key, 0), bucket(value, m))
+            cur = caps.get(key, 0)
+            if bucket(value, m) <= cur:
+                return
+            # A key that actually ratchets during GROWTH jumps to
+            # headroom x the need (the reference's 2x spare-allocation on
+            # GrowPLVs, src/gp_engine.cpp:64-209): with ~20 shape keys
+            # starting at small buckets, ratcheting them one per
+            # iteration recompiled three programs nearly EVERY NNI
+            # acceptance — measured 6.6 s/acceptance, 58% of the whole
+            # six_taxon search (round-5 phase budget).  Static engines
+            # (headroom=1) keep exact buckets: padding is masked device
+            # compute, so one-shot workloads shouldn't pay 2x.
+            caps[key] = bucket(value * headroom, m)
 
         need("n", N, 32)
         need("e", E, 64)
@@ -466,20 +484,24 @@ class GPEngine:
         ncap, ecap = caps["n"], caps["e"]
 
         def stack_entries(levels, L, K, M):
+            # Plain numpy here: the whole index pytree ships in ONE
+            # jax.device_put at the end (per-array jnp.asarray costs one
+            # tunnel round-trip each — ~40 arrays made engine build and
+            # grow dispatch-latency-bound on TPU, round-5 phase budget).
             return dict(
-                edge=jnp.asarray(_pad_stack([l.edge for l in levels], ecap,
-                                            width=K, rows=L)),
-                dest=jnp.asarray(_pad_stack([l.dest for l in levels], ncap,
-                                            width=K, rows=L)),
-                side=jnp.asarray(_pad_stack(
+                edge=_pad_stack([l.edge for l in levels], ecap,
+                                width=K, rows=L),
+                dest=_pad_stack([l.dest for l in levels], ncap,
+                                width=K, rows=L),
+                side=_pad_stack(
                     [l.dest_side.astype(np.int32) for l in levels], 0,
-                    width=K, rows=L)),
-                src=jnp.asarray(_pad_stack([l.src for l in levels], ncap,
-                                           width=K, rows=L)),
-                src_plv=jnp.asarray(_pad_stack(
-                    [l.src_plv for l in levels], 0, width=K, rows=L)),
-                nodes=jnp.asarray(_pad_stack([l.nodes for l in levels],
-                                             ncap, width=M, rows=L)),
+                    width=K, rows=L),
+                src=_pad_stack([l.src for l in levels], ncap,
+                               width=K, rows=L),
+                src_plv=_pad_stack(
+                    [l.src_plv for l in levels], 0, width=K, rows=L),
+                nodes=_pad_stack([l.nodes for l in levels],
+                                 ncap, width=M, rows=L),
             )
 
         rw = (stack_entries(sch.rootward, caps["Lr"], caps["Kr"], caps["Mr"])
@@ -488,11 +510,11 @@ class GPEngine:
         # Leafward level 0 (the rootsplits) receives no accumulation: its
         # RHat is seeded from the stationary distribution, so its acc write
         # targets only the dummy node.
-        lw["acc_nodes"] = jnp.asarray(_pad_stack(
+        lw["acc_nodes"] = _pad_stack(
             [np.zeros(0, dtype=np.int32)]
             + [l.nodes for l in sch.leafward[1:]], ncap,
             width=caps["Ml"], rows=caps["Ll"],
-        ))
+        )
 
         # -- optimization sweep columns (tidy traversal, levelized) -------
         opt_cols: Dict[str, List[np.ndarray]] = {
@@ -540,8 +562,8 @@ class GPEngine:
             kind = k.split("_")[-1]
             ck = f"Ko_{k}"
             need(ck, max((len(c) for c in cols), default=1), 16)
-            sweep[k] = jnp.asarray(_pad_stack(
-                cols, pad_of[kind], width=caps[ck], rows=caps["Ll"]))
+            sweep[k] = _pad_stack(
+                cols, pad_of[kind], width=caps[ck], rows=caps["Ll"])
 
         rs_nodes = _pad_stack([sch.rootsplit_nodes], ncap,
                               width=caps["r"])[0]
@@ -556,15 +578,17 @@ class GPEngine:
         like_mask = np.zeros(ecap, dtype=bool)
         like_mask[:E] = sch.like_mask
 
-        self._idx = dict(
+        # One transfer for the whole index pytree instead of ~40
+        # per-array round-trips through the TPU tunnel.
+        self._idx = jax.device_put(dict(
             rw=rw, lw=lw, sweep=sweep,
-            rootsplit_nodes=jnp.asarray(rs_nodes),
-            rootsplit_edges=jnp.asarray(rs_edges),
-            like_parent=jnp.asarray(like_parent),
-            like_r_plv=jnp.asarray(like_r_plv),
-            like_child=jnp.asarray(like_child),
-            like_mask=jnp.asarray(like_mask),
-        )
+            rootsplit_nodes=rs_nodes,
+            rootsplit_edges=rs_edges,
+            like_parent=like_parent,
+            like_r_plv=like_r_plv,
+            like_child=like_child,
+            like_mask=like_mask,
+        ))
         self._np1 = ncap + 1
 
     # ------------------------------------------------------------------
@@ -601,7 +625,7 @@ class GPEngine:
         self.inverted_sbn_prior = new_dag.inverted_gpcsp_probabilities(
             self.sbn_prior, node_probs
         )
-        self._prepare_index_arrays()
+        self._prepare_index_arrays(headroom=max(self._headroom, 2))
         ecap = self._caps["e"]
         # Branch lengths carry over by PCSP; q restarts from the new prior
         # (the reference re-derives the prior on growth too).
@@ -638,8 +662,21 @@ class GPEngine:
                     if old_id is not None and old_id < old_np1 - 1:
                         new_ids_np.append(new_id)
                         old_ids_np.append(old_id)
-            new_ids = jnp.asarray(np.asarray(new_ids_np, dtype=np.int32))
-            old_ids = jnp.asarray(np.asarray(old_ids_np, dtype=np.int32))
+            # Pad the carry index arrays to the node capacity bucket:
+            # this eager scatter/gather otherwise compiles a fresh XLA
+            # program per distinct id-count — measured ~5.4 s per grow on
+            # TPU, 58% of a whole six_taxon GP-NNI search (round-5 phase
+            # budget).  Padding rows shuttle the old dummy slot into the
+            # new dummy slot (both scratch), so values are unchanged and
+            # one compiled program serves every grow within the bucket.
+            ncap = self._np1 - 1
+            o = np.full(ncap, old_np1 - 1, dtype=np.int32)
+            nn = np.full(ncap, self._np1 - 1, dtype=np.int32)
+            k = len(new_ids_np)
+            o[:k] = np.asarray(old_ids_np, dtype=np.int32)
+            nn[:k] = np.asarray(new_ids_np, dtype=np.int32)
+            new_ids = jnp.asarray(nn)
+            old_ids = jnp.asarray(o)
             S = old_plv.shape[-1]
             plv = jnp.zeros((6, self._np1, 4, S), self.dtype)
             ls = jnp.zeros((6, self._np1, S), self.dtype)

@@ -171,13 +171,16 @@ class NNIEngine:
                                   nni)
 
     # -- scoring -----------------------------------------------------------
-    def _new_edge_nodes(self, tree: Tree) -> List[int]:
+    def _new_edge_nodes(self, tree: Tree, indexer=None) -> List[int]:
         """Node ids of the tree whose edge-PCSP is not yet in the DAG —
         the proposed NNI's new edges, whose branch lengths get optimized
         before scoring (reference optimize_new_edges +
         init_proposed_branch_lengths_with_dag, src/tp_engine.cpp:1423-1427,
-        exercised by test/nni_search.py:20-33)."""
-        indexer = self.dag.build_edge_indexer()
+        exercised by test/nni_search.py:20-33).  Pass `indexer` when
+        calling per-tree in a loop — build_edge_indexer is O(E) string
+        building and dominated the at-scale scoring pass otherwise."""
+        if indexer is None:
+            indexer = self.dag.build_edge_indexer()
         topo = tree.topology
         n = topo.num_taxa
         cl = topo.clades()
@@ -211,7 +214,9 @@ class NNIEngine:
             trees.append(t)
         if trees:
             if self.scoring != "tp_parsimony" and self._optimize_new_edges:
-                selected = [self._new_edge_nodes(t) for t in trees]
+                indexer = self.dag.build_edge_indexer()
+                selected = [self._new_edge_nodes(t, indexer)
+                            for t in trees]
                 bl = self.tp.like_engine.optimize_selected_branches(
                     trees, {}, selected,
                     iterations=self._optimization_iterations,
@@ -286,7 +291,13 @@ class NNIEngine:
         self.accepted_scores_this_iter = {k: scores[k] for k in accepted_keys}
         for key in accepted_keys:
             self.accepted.append(self.adjacent[key])
-            self.supporting_trees.append(self._candidate_trees[key])
+            # Lazy candidate-tree construction: scorers that don't need
+            # the trees for scoring (GP per-PCSP) skip building them for
+            # the ~thousand rejected candidates per pass.
+            tree = self._candidate_trees.get(key)
+            if tree is None:
+                tree = self._candidate_tree(self.adjacent[key])
+            self.supporting_trees.append(tree)
             self.scored.pop(key, None)   # reference RemoveNNIScore
             self.past_rejected.discard(key)
         self.add_accepted_nnis_to_dag()
@@ -517,7 +528,8 @@ class GPScoredNNIEngine(NNIEngine):
         # program shapes and the shared compiled programs.
         self._gp_caps: Dict[str, int] = {}
         self.mesh = None  # set via shard_patterns() for multi-chip runs
-        self.gp = GPEngine(site_pattern, self.dag, caps=self._gp_caps)
+        self.gp = GPEngine(site_pattern, self.dag, caps=self._gp_caps,
+                           headroom=2)
         self.gp.estimate_branch_lengths(1e-3, 10)
 
     def shard_patterns(self, mesh, axis: str = "sites"):
@@ -627,7 +639,7 @@ class GPScoredNNIEngine(NNIEngine):
             grafted, central = graft_node_pairs(self.dag, pairs)
         with ph("score.engine_build"):
             engine = GPEngine(self.site_pattern, grafted,
-                              caps=self._gp_caps)
+                              caps=self._gp_caps, headroom=2)
             if self.mesh is not None:
                 engine.shard_patterns(self.mesh, self._shard_axis)
         with ph("score.carry"):
@@ -643,14 +655,16 @@ class GPScoredNNIEngine(NNIEngine):
             ll = np.asarray(engine.per_gpcsp_log_likelihoods())
         out = {k: float(ll[c]) for k, c in zip(keys, central)}
         self.scored.update(out)
-        # Candidate trees for DAG growth come from the TP choice maps.
-        with ph("score.candidate_trees"):
-            self._candidate_trees = {}
-            for k in keys:
-                t = self._candidate_tree(self.adjacent[k])
-                if t is not None:
-                    self._candidate_trees[k] = t
-        out = {k: v for k, v in out.items() if k in self._candidate_trees}
+        # Candidate trees (needed only for DAG growth of ACCEPTED NNIs)
+        # are built lazily at acceptance time — run_main_loop falls back
+        # to _candidate_tree for keys absent from _candidate_trees.
+        # Building all of them here measured 7.8 s of an 8.5 s warm
+        # scoring pass at the 1,077-edge stress scale (971 candidates x
+        # 7.3 ms choice-map tree extraction) while top-k filtering
+        # accepts ONE (round-5 at-scale budget, scripts/perf_at_scale.py).
+        # Every adjacent NNI has a pre-NNI source edge in the DAG by
+        # construction, so no validity filtering is lost.
+        self._candidate_trees = {}
         return out
 
 

@@ -25,6 +25,36 @@ from .encode import (
 )
 
 
+def _paired_full_jit(pdst, ptip, psrc, ppost_e, edge_mask,
+                     tips_src, weights_src, eig, rates_p, props_p, clock,
+                     bl, Q, static):
+    """Operand prep + paired gradient kernel as ONE jitted program.
+
+    Eager prep dispatched ~100 ms of host/tunnel overhead per
+    ll_and_branch_gradients call in this environment (measured round 5:
+    same-trees repeat call 99-123 ms while the same math inside a jitted
+    sweep costs 0.5 ms + one sync) — non-jitted callers (the VBPI inner
+    loop, NNI scorers) pay it every step.  Tapes ride as traced args, so
+    one compilation serves every same-shape tree batch."""
+    from . import pallas_paired, pallas_pruning
+
+    (M, T, CA, n_pair_slots, num_slots, s_tile, group,
+     pattern_pad, interpret) = static
+    P_blk, dP_blk, tips_flat, pivec, propvec, w = (
+        pallas_pruning.prepare_inputs_grad_q(
+            None, tips_src, weights_src, eig, rates_p, props_p, clock,
+            bl, pattern_pad, Q=Q))
+    return pallas_paired.paired_ll_and_gradients(
+        pdst, ptip, psrc, ppost_e, edge_mask,
+        P_blk, dP_blk, tips_flat, pivec, propvec, w,
+        M=M, T=T, CA=CA, n_pair_slots=n_pair_slots,
+        num_slots=num_slots, s_tile=s_tile, group=group,
+        interpret=interpret)
+
+
+_paired_full_jit = jax.jit(_paired_full_jit, static_argnames=("static",))
+
+
 class TreeLikelihoodEngine:
     """Batched likelihood/gradient evaluation for a fixed tree batch.
 
@@ -287,13 +317,14 @@ class TreeLikelihoodEngine:
             pe, pdst, ptip, psrc, ppost_e = self._paired_encoding(enc)
             rates_p, props_p = self._pad_model_ingredients(eig, rates,
                                                            props)
-            P_blk, dP_blk, tips_flat, pivec, propvec, w = (
-                pallas_pruning.prepare_inputs_grad_q(
-                    enc, self._pallas_tips(), self.site_pattern.weights,
-                    eig, rates_p, props_p, clock, bl, self.pattern_pad,
-                    Q=Q))
             group, s_tile = self._paired_tiles(enc.batch_size)
             if self._pattern_sharding is not None:
+                P_blk, dP_blk, tips_flat, pivec, propvec, w = (
+                    pallas_pruning.prepare_inputs_grad_q(
+                        enc, self._pallas_tips(),
+                        self.site_pattern.weights,
+                        eig, rates_p, props_p, clock, bl,
+                        self.pattern_pad, Q=Q))
                 mesh, ax = self._pattern_sharding
                 return pallas_paired.paired_ll_and_gradients_sharded(
                     mesh, ax, pdst, ptip, psrc, ppost_e,
@@ -303,14 +334,18 @@ class TreeLikelihoodEngine:
                     CA=self._padded_CA(),
                     n_pair_slots=pe.n_pair_slots, num_slots=enc.num_slots,
                     group=group, interpret=interpret)
-            return pallas_paired.paired_ll_and_gradients(
+            # Prep + kernel in ONE jitted program (eager prep measured
+            # ~100 ms of dispatch overhead per call for non-jitted
+            # callers; see _paired_full_jit).
+            static = (pe.M, pe.num_taxa, self._padded_CA(),
+                      pe.n_pair_slots, enc.num_slots, s_tile, group,
+                      self.pattern_pad, interpret)
+            return _paired_full_jit(
                 pdst, ptip, psrc, ppost_e,
                 jnp.asarray(enc.edge_mask, jnp.float32),
-                P_blk, dP_blk, tips_flat, pivec, propvec, w,
-                M=pe.M, T=pe.num_taxa,
-                CA=self._padded_CA(),
-                n_pair_slots=pe.n_pair_slots, num_slots=enc.num_slots,
-                s_tile=s_tile, group=group, interpret=interpret)
+                self._pallas_tips(),
+                jnp.asarray(self.site_pattern.weights, jnp.float32),
+                eig, rates_p, props_p, clock, bl, Q, static)
         kargs = pallas_pruning.prepare_inputs_grad(
             enc, self._pallas_tips(), self.site_pattern.weights,
             eig, rates, props, clock, bl, self.pattern_pad)

@@ -75,11 +75,29 @@ class _AdamPolicyOptimizer:
         assert grad_dict[_SBN].shape == self.sbn_model.sbn_parameters.shape
         grads = {_SCALAR: np.asarray(grad_dict[_SCALAR]),
                  _SBN: np.asarray(grad_dict[_SBN])}
-        direction, self.opt_state = _ADAM.update(grads, self.opt_state)
+        # Host numpy Adam with optax.scale_by_adam's exact math (moments,
+        # bias correction, eps outside the sqrt) and its state container
+        # (checkpoint surface unchanged).  optax.update here dispatched
+        # ~3 device programs over microsecond-sized arrays — 72 ms of a
+        # 258 ms VBPI step through the TPU tunnel (round-5 phase budget);
+        # the reference's own Adam is host numpy (vip/sgd_server.py).
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        count = int(self.opt_state.count) + 1
+        mu = {k: np.asarray(v) for k, v in self.opt_state.mu.items()}
+        nu = {k: np.asarray(v) for k, v in self.opt_state.nu.items()}
+        direction = {}
+        for k, g in grads.items():
+            mu[k] = b1 * mu[k] + (1.0 - b1) * g
+            nu[k] = b2 * nu[k] + (1.0 - b2) * g * g
+            mu_hat = mu[k] / (1.0 - b1 ** count)
+            nu_hat = nu[k] / (1.0 - b2 ** count)
+            direction[k] = mu_hat / (np.sqrt(nu_hat) + eps)
+        self.opt_state = optax.ScaleByAdamState(
+            count=np.asarray(count, dtype=np.int32), mu=mu, nu=nu)
         self.scalar_model.q_params += (
-            self.step_size * np.asarray(direction[_SCALAR]))
+            self.step_size * direction[_SCALAR])
         self.sbn_model.sbn_parameters += (
-            self.sbn_step_size * np.asarray(direction[_SBN]))
+            self.sbn_step_size * direction[_SBN])
         return True
 
     def gradient_step(self, grad_dict, history=None):

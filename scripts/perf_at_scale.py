@@ -43,13 +43,73 @@ def main():
     from bito_tpu.nni.engine import GPScoredNNIEngine
     from bito_tpu.utils.timing import PhaseTimer
 
+    from bito_tpu.core.newick import parse_newick_file, read_fasta
+    from bito_tpu.core.tree import Topology, Tree, _renumber
+    from bito_tpu.dag.subsplit_dag import build_dag_from_topologies
+
+    def rooted(tree):
+        """Root a trifurcating (unrooted) tree: (a, b, c) -> (a, (b, c))."""
+        topo = tree.topology
+        ch = [list(k) for k in topo.children()]
+        root = topo.num_nodes - 1
+        kids = ch[root]
+        if len(kids) == 2:
+            return tree
+        assert len(kids) == 3, kids
+        u = topo.num_nodes  # new internal node
+        ch.append(kids[1:])
+        ch[root] = [kids[0], u]
+        new_topo = _renumber(ch, topo.num_taxa, root)
+        bl = np.zeros(new_topo.num_nodes)
+        old_cl = topo.clades()
+        new_cl = new_topo.clades()
+        by_clade = {old_cl[v]: tree.branch_lengths[v]
+                    for v in range(topo.num_nodes - 1)}
+        for v in range(new_topo.num_nodes - 1):
+            bl[v] = by_clade.get(new_cl[v], 1e-4)
+        return Tree(new_topo, bl)
+
+    def nni_perturb(tree, rng, moves=3):
+        """Random rooted-NNI surgery: swap an internal node's child with
+        its sibling, `moves` times (synthesizes DAG diversity the
+        too-similar credible set lacks — its union DAG is only ~190
+        edges; the verdict's stress target is thousands)."""
+        topo = tree.topology
+        ch = [list(k) for k in topo.children()]
+        T = topo.num_taxa
+        root = topo.num_nodes - 1
+        for _ in range(moves):
+            parent_of = {}
+            for u, kids in enumerate(ch):
+                for k in kids:
+                    parent_of[k] = u
+            v = int(rng.integers(T, root))
+            p = parent_of.get(v)
+            if p is None:
+                continue
+            sibs = [c for c in ch[p] if c != v]
+            if not sibs or not ch[v]:
+                continue
+            s = sibs[0]
+            c = ch[v][int(rng.integers(0, len(ch[v])))]
+            ch[p] = [x if x != s else c for x in ch[p]]
+            ch[v] = [x if x != c else s for x in ch[v]]
+        new_topo = _renumber(ch, T, root)
+        bl = np.full(new_topo.num_nodes, 0.05)
+        return Tree(new_topo, bl)
+
     out = {}
     inst = gp_instance("")
     inst.read_fasta_file(f"{DATA}/DS1.fasta")
     inst.read_newick_file(f"{DATA}/DS1.100_topologies.nwk")
+    rng = np.random.default_rng(0)
+    base = [rooted(t) for t in inst.tree_collection.trees]
+    extra = [nni_perturb(t, rng) for t in base for _ in range(4)]
+    inst.tree_collection.trees = base + extra
     t0 = time.perf_counter()
     inst.make_dag()
     out["dag_build_s"] = round(time.perf_counter() - t0, 3)
+    out["topologies"] = len(base) + len(extra)
     dag = inst.get_dag()
     out["nodes"] = dag.node_count()
     out["edges"] = dag.edge_count()
