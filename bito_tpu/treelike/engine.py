@@ -267,6 +267,12 @@ class TreeLikelihoodEngine:
         group = 4 if batch % 4 == 0 else (2 if batch % 2 == 0 else 1)
         tile = self._pallas_s_tile()
         CA = self._padded_CA()
+        if CA > 16:
+            # Bandwidth-bound regime (codon CA=64): small tiles re-stream
+            # the per-op operand stacks once per pattern tile, so G=1 at
+            # the whole-pad tile measured fastest (6.2k vs 5.5k evals/s
+            # under the latency-regime policy below; round-5 sweep).
+            return 1, tile
         # CA=16 tuning point: G>1 x tile 1024; keep tile*CA*group within
         # that envelope (tile_budget per interleaved tree ~= 1024*16/CA).
         cap = max(128, 1024 * 16 // CA)
