@@ -240,6 +240,39 @@ def _likelihoods_impl(idx, plv, ls, blc, qc, weights):
     return per_edge, log_marginal_site, log_marginal_site @ weights
 
 
+@_partial(jax.jit, static_argnames=("np1", "n_taxa", "method", "max_iter"))
+def _estimate_impl(idx, blc, qc, tips, weights, tol, edge_mask,
+                   *, np1, n_taxa, method, max_iter):
+    """The whole EstimateBranchLengths coordinate-ascent loop as ONE
+    device program: populate, then while (it < max_iter and mean |dbl|
+    over real edges >= tol) { sweep; populate }.  The host-side loop
+    paid a ~33 ms device round-trip per sweep for its convergence check
+    through this environment's TPU tunnel (round-5 GP-NNI budget).
+    Returns (plv, ls, blc, |dbl| per edge (capacity-sized), iters)."""
+    plv, ls = _populate_impl(idx, blc, qc, tips, np1=np1, n_taxa=n_taxa)
+    denom = jnp.maximum(edge_mask.sum(), 1.0)
+    big = jnp.asarray(jnp.inf, blc.dtype)
+
+    def cond(st):
+        it, diff_mean, *_ = st
+        return (it < max_iter) & (diff_mean >= tol)
+
+    def body(st):
+        it, _, diffs, plv, ls, blc = st
+        old = blc
+        plv, ls, blc = _sweep_impl(idx, plv, ls, blc, qc, weights,
+                                   method=method)
+        plv, ls = _populate_impl(idx, blc, qc, tips, np1=np1,
+                                 n_taxa=n_taxa)
+        diffs = jnp.abs(blc - old) * edge_mask
+        return (it + 1, diffs.sum() / denom, diffs, plv, ls, blc)
+
+    it, _, diffs, plv, ls, blc = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0), big, jnp.zeros_like(blc), plv, ls, blc))
+    return plv, ls, blc, diffs, it
+
+
 @_partial(jax.jit, static_argnames=("method",))
 def _sweep_impl(idx, plv, ls, blc, qc, weights, *, method):
     """One leafward optimization sweep (tidy traversal levelized, scanned);
@@ -400,10 +433,14 @@ class GPEngine:
         self._prepare_index_arrays(headroom=self._headroom)
         E = self.schedule.edge_count
         ecap = self._caps["e"]
-        self._qc = jnp.zeros((ecap,), self.dtype).at[:E].set(
-            jnp.asarray(self.sbn_prior, dtype=self.dtype))
+        # Host-side padding: .at[:E].set with a per-DAG E compiled a tiny
+        # XLA program per distinct edge count — one per NNI iteration in
+        # the grafted-scorer path (round-5 budget).
+        qc0 = np.zeros(ecap)
+        qc0[:E] = np.asarray(self.sbn_prior)
+        self._qc = jnp.asarray(qc0, dtype=self.dtype)
         self._blc = jnp.full((ecap,), DEFAULT_BL, dtype=self.dtype)
-        self.branch_length_differences = jnp.zeros((E,), self.dtype)
+        self.branch_length_differences = np.zeros(E)
         self.plv: Optional[jnp.ndarray] = None
         self.ls: Optional[jnp.ndarray] = None
         self.per_edge_ll: Optional[jnp.ndarray] = None
@@ -641,9 +678,10 @@ class GPEngine:
                 if e_old is not None:
                     bl[e_new] = old_bl_host[e_old]
         self._blc = jnp.asarray(bl, dtype=self.dtype)
-        self._qc = jnp.zeros((ecap,), self.dtype).at[:E].set(
-            jnp.asarray(self.sbn_prior, dtype=self.dtype))
-        self.branch_length_differences = jnp.zeros((E,), self.dtype)
+        qc0 = np.zeros(ecap)
+        qc0[:E] = np.asarray(self.sbn_prior)
+        self._qc = jnp.asarray(qc0, dtype=self.dtype)
+        self.branch_length_differences = np.zeros(E)
         self.hybrid_marginal_log_likelihoods = np.full(E, -np.inf)
         # PLV carry-over by subsplit identity: surviving nodes keep their
         # values bit-for-bit (new/changed nodes start zeroed and are filled
@@ -797,6 +835,26 @@ class GPEngine:
         # GP-scored NNI loop (measured 13.2 s of a 16 s DS1-credible
         # iteration on CPU) while every sweep, every convergence decision,
         # and the returned marginal are unchanged.
+        if quiet:
+            # The whole loop (populate + sweeps + convergence) as ONE
+            # device program: the per-sweep host convergence sync cost a
+            # ~33 ms round-trip each through this environment's TPU
+            # tunnel (round-5 GP-NNI budget; estimate_bl was 18% of the
+            # six_taxon search).
+            E = self.schedule.edge_count
+            ecap = self._blc.shape[0]
+            mask = np.zeros(ecap)
+            mask[:E] = 1.0
+            plv, ls, blc, diff, _it = _estimate_impl(
+                self._idx, self._blc, self._qc, self.tips, self.weights,
+                jnp.asarray(tol, self.dtype),
+                jnp.asarray(mask, self.dtype),
+                np1=self._np1, n_taxa=self.schedule.taxon_count,
+                method=self.optimization_method, max_iter=max_iter)
+            self.plv, self.ls, self._blc = plv, ls, blc
+            self.branch_length_differences = np.asarray(diff)[:E]
+            self.compute_likelihoods()
+            return self.log_marginal_likelihood()
         self.populate_plvs()
         for it in range(max_iter):
             self.optimize_branch_lengths_once()

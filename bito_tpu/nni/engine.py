@@ -563,11 +563,15 @@ class GPScoredNNIEngine(NNIEngine):
     def _carry_branch_lengths(engine, old_bl: Dict[str, float]):
         import jax.numpy as jnp
 
-        bl = np.asarray(engine.branch_lengths).copy()
+        # Work at CAPACITY size throughout: slicing device arrays to the
+        # true edge count compiles a tiny XLA program per distinct E —
+        # one per NNI iteration (round-5 GP-NNI budget; the carry phase
+        # doubled when those compiles moved here from the engine ctor).
+        bl = np.asarray(engine._blc).copy()
         for e, key in enumerate(engine.dag.pretty_edges()):
             if key in old_bl:
                 bl[e] = old_bl[key]
-        engine.branch_lengths = jnp.asarray(bl, dtype=engine.dtype)
+        engine._blc = jnp.asarray(bl, dtype=engine.dtype)
 
     def _carry_q(self, engine, keys):
         """Frozen-prior scoring (reference NNIEvalEngineViaGP: host q stays
@@ -583,7 +587,7 @@ class GPScoredNNIEngine(NNIEngine):
         import jax.numpy as jnp
 
         host_q = dict(zip(self.gp.dag.pretty_edges(),
-                          np.asarray(self.gp.q)))
+                          np.asarray(self.gp._qc)))
         counterpart = {}
         for k in keys:
             nni = self.adjacent[k]
@@ -596,7 +600,8 @@ class GPScoredNNIEngine(NNIEngine):
         from ..core.bitset import PCSP, Subsplit
 
         uca = Subsplit.uca(dag.taxon_count)
-        q = np.asarray(engine.q).copy()
+        # capacity-sized (see _carry_branch_lengths)
+        q = np.asarray(engine._qc).copy()
         for e in range(dag.edge_count()):
             key = dag.pretty_edge(e)
             if key in host_q:
@@ -616,7 +621,7 @@ class GPScoredNNIEngine(NNIEngine):
                 continue
             if k2 in host_q:
                 q[e] = host_q[k2]
-        engine.q = jnp.asarray(q, dtype=engine.dtype)
+        engine._qc = jnp.asarray(q, dtype=engine.dtype)
 
     def score_adjacent_nnis(self) -> Dict[Tuple[str, str], float]:
         from contextlib import nullcontext
@@ -646,7 +651,7 @@ class GPScoredNNIEngine(NNIEngine):
             self._carry_branch_lengths(
                 engine,
                 dict(zip(self.gp.dag.pretty_edges(),
-                         np.asarray(self.gp.branch_lengths))),
+                         np.asarray(self.gp._blc))),
             )
             self._carry_q(engine, keys)
         with ph("score.device"):

@@ -137,7 +137,11 @@ class TestGPGrowth:
                  gpe._likelihoods_impl._cache_size(),
                  gpe._sweep_impl._cache_size())
         assert iters >= 4, f"search stopped too early to measure ({iters})"
-        assert all(s <= 8 for s in sizes), (
+        # Bound 12: each impl is traced directly AND nested inside
+        # _estimate_impl (nested jits keep their own cache entries), so
+        # the O(log) bucket doublings appear in up to two trace contexts.
+        # A per-iteration regression would put every cache at >=16.
+        assert all(s <= 12 for s in sizes), (
             f"{iters} NNI iterations produced cache sizes {sizes} — "
             f"compiles are scaling per-iteration, the shared capacity "
             f"buckets regressed")
