@@ -199,7 +199,16 @@ class TreeLikelihoodEngine:
         cost more VPU register passes than they save in serialization —
         see IMPLEMENTATION_NOTES round 4); it remains a tested,
         documented alternative."""
-        return self.kernel in ("chunked", "chunked_interpret")
+        use = self.kernel in ("chunked", "chunked_interpret")
+        if use and self.num_states != 4:
+            # The chunked prep is wired to the eigen transition route,
+            # whose f32 small-entry cancellation makes codon gradients
+            # wrong (round-5 finding) — refuse loudly rather than
+            # silently computing bad numbers.
+            raise ValueError(
+                "kernel='chunked' supports 4-state models only; codon "
+                "models run on the scan tape (auto) or kernel='pallas'")
+        return use
 
     def _chunk_W(self) -> int:
         """Chunk width: 2*W*CA = 128 fills one MXU contraction tile; never

@@ -356,3 +356,55 @@ class TestUniformizedTransitions:
         assert np.abs((np.asarray(ll32) - np.asarray(ll64))
                       / np.asarray(ll64)).max() < 1e-5
         assert np.abs(g32 - g64).max() / np.abs(g64).max() < 1e-5
+
+class TestCodonProductPathExtras:
+    _setup = TestCodonProductPath._setup
+    _params = TestCodonProductPath._params
+
+    def test_engine_codon_with_gamma_categories(self, data_dir):
+        """MG94 x gamma+4 through the product engine (C=4, A=64,
+        CA=256): the scan route must match the free-function path with
+        explicit category rates."""
+        import jax.numpy as jnp
+        from bito_tpu.models.site import gamma_median_category_rates
+
+        coll, sp, _ = self._setup(data_dir, site="gamma+4")
+        from bito_tpu.models.phylo_model import (
+            PhyloModel, PhyloModelSpecification)
+        from bito_tpu.treelike.engine import TreeLikelihoodEngine
+
+        spec = PhyloModelSpecification(substitution="MG94", site="gamma+4")
+        engine = TreeLikelihoodEngine(sp, PhyloModel(spec))
+        engine.kernel = "scan"
+        params = dict(self._params(),
+                      site_model_parameters=jnp.asarray([0.6]))
+        trees = coll.trees[:2]
+        for t in trees:
+            t.branch_lengths[:] = np.linspace(
+                0.05, 0.4, t.branch_lengths.shape[0])
+        ll = np.asarray(engine.log_likelihoods(trees, params))
+        _, g = engine.ll_and_branch_gradients(trees, params)
+        assert np.isfinite(ll).all() and np.isfinite(np.asarray(g)).all()
+
+        model = cd.CodonModel(kappa=2.5, omega=0.3,
+                              nuc_freqs=(0.3, 0.2, 0.3, 0.2))
+        rates = np.asarray(gamma_median_category_rates(0.6, 4))
+        props = np.full(4, 0.25)
+        N = max(t.topology.num_nodes for t in trees)
+        bl = np.zeros((2, N))
+        for b, t in enumerate(trees):
+            bl[b, : t.topology.num_nodes] = t.branch_lengths
+        ll_free = np.asarray(cd.codon_log_likelihoods(
+            [t.topology for t in trees], bl, sp.tip_partials(),
+            sp.weights, model, category_rates=rates,
+            category_proportions=props))
+        np.testing.assert_allclose(ll, ll_free, rtol=1e-6)
+
+    def test_chunked_kernel_refuses_codon(self, data_dir):
+        """kernel='chunked' with a codon model raises instead of silently
+        running the eigen transition route (whose f32 cancellation made
+        codon gradients 18x wrong — round-5 finding)."""
+        coll, sp, engine = self._setup(data_dir)
+        engine.kernel = "chunked"
+        with pytest.raises(ValueError, match="4-state"):
+            engine.log_likelihoods(coll.trees[:2], self._params())
