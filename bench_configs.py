@@ -83,12 +83,36 @@ def config1_hello():
 
     sweep(bl).block_until_ready()
     best = _best_of(lambda: sweep(bl * 1.0001).block_until_ready())
+
+    # Small-workload latency, triaged (round 5): the per-scan-step cost
+    # is ~150 us REGARDLESS of batch (2 -> 128 trees), i.e. fixed
+    # per-step overhead (XLA scan step + operand prep + kernel launch),
+    # not per-tree compute.  Report the amortized figure alongside so
+    # the 2-tree number reads as what it is.
+    trees128 = [trees[i % len(trees)] for i in range(128)]
+    enc128 = engine.encode(trees128)
+    bl128 = engine.branch_length_matrix(trees128, enc128)
+    fn128 = engine.ll_eval_fn(trees128, {})
+
+    @jax.jit
+    def sweep128(b):
+        def body(carry, k):
+            return carry + fn128(b * (1.0 + 0.001 * k)).sum(), 0.0
+
+        total, _ = jax.lax.scan(body, jnp.zeros((), b.dtype),
+                                jnp.arange(iters, dtype=b.dtype))
+        return total
+
+    sweep128(bl128).block_until_ready()
+    best128 = _best_of(
+        lambda: sweep128(bl128 * 1.0001).block_until_ready(), reps=3)
     return {
         "metric": "hello JC69 single-tree LL evals/sec",
         "value": round(2 * iters / best, 2),
         "unit": "evals/sec",
         "parity_abs": parity,
         "kernel": kernel,
+        "batch128_evals_per_sec": round(128 * iters / best128, 1),
     }
 
 
