@@ -23,7 +23,7 @@ something below node-clade (i, side s) has been modified.
 """
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Set, Tuple
+from typing import List, Optional, Set, Tuple
 
 import numpy as np
 

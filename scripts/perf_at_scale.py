@@ -37,15 +37,11 @@ def main():
     import numpy as np
 
     from bito_tpu.api.gp import gp_instance
-    from bito_tpu.dag.graft import graft_node_pairs
-    from bito_tpu.gp.engine import GPEngine
     from bito_tpu.core.site_pattern import SitePattern
     from bito_tpu.nni.engine import GPScoredNNIEngine
     from bito_tpu.utils.timing import PhaseTimer
 
-    from bito_tpu.core.newick import parse_newick_file, read_fasta
-    from bito_tpu.core.tree import Topology, Tree, _renumber
-    from bito_tpu.dag.subsplit_dag import build_dag_from_topologies
+    from bito_tpu.core.tree import Tree, _renumber
 
     def rooted(tree):
         """Root a trifurcating (unrooted) tree: (a, b, c) -> (a, (b, c))."""
