@@ -353,3 +353,31 @@ class TestOptimizationMethods:
         inst.set_rescaling(True)  # always-on: accepting True is exact
         with pytest.raises(NotImplementedError):
             inst.set_rescaling(False)
+
+
+class TestFusedEstimateLoop:
+    def test_fused_while_loop_matches_host_loop(self):
+        """estimate_branch_lengths' quiet path (one jitted lax.while_loop,
+        round 5) must match the host loop (the verbose path) exactly:
+        same marginal, same branch lengths, same convergence."""
+        import numpy as np
+        from bito_tpu.api.gp import gp_instance
+
+        def run(quiet):
+            inst = gp_instance("")
+            inst.read_fasta_file("/root/reference/data/five_taxon.fasta")
+            inst.read_newick_file(
+                "/root/reference/data/five_taxon_rooted.nwk")
+            inst.make_dag()
+            inst.make_gp_engine()
+            eng = inst.get_gp_engine()
+            import contextlib, io
+
+            with contextlib.redirect_stdout(io.StringIO()):
+                marg = eng.estimate_branch_lengths(1e-4, 50, quiet=quiet)
+            return marg, np.asarray(eng.branch_lengths).copy()
+
+        m_fused, bl_fused = run(True)
+        m_host, bl_host = run(False)
+        assert abs(m_fused - m_host) < 1e-10, (m_fused, m_host)
+        np.testing.assert_allclose(bl_fused, bl_host, rtol=0, atol=1e-12)
