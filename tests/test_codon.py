@@ -288,7 +288,7 @@ class TestUniformizedTransitions:
         Qp = np.zeros((64, 64))
         Qp[:61, :61] = model.Q61
         stack, q = uniformized_stack(jnp.asarray(Qp))
-        for t in (0.0, 0.01, 0.3, 2.0):
+        for t in (0.0, 0.01, 0.3, 2.0, 7.0):  # 7.0: qt ~ 11, K=40 margin
             P_u = np.asarray(uniformized_transition_matrices(
                 stack, q, jnp.asarray(t)))
             lam, V = np.linalg.eig(model.Q61)
