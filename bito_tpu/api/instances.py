@@ -204,10 +204,20 @@ class GenericSBNInstance:
         cached = getattr(self, "_indexer_reps_cache", None)
         if cached is not None and cached[0] == key:
             return cached[1]
-        reps = [
-            self.sbn_support.indexer_representation_of(t.topology)
-            for t in self.tree_collection.trees
-        ]
+        native = (None if self.rooted
+                  else self.sbn_support._native_pcsp_indexer())
+        if native is not None:
+            # One native call for the whole tree set (the per-tree loop
+            # paid ctypes marshaling 20x per VBPI step; round 5).
+            sentinel = len(self.sbn_support.indexer)
+            reps = native.unrooted_representations(
+                [np.asarray(t.topology.parents, dtype=np.int32)
+                 for t in self.tree_collection.trees], sentinel)
+        else:
+            reps = [
+                self.sbn_support.indexer_representation_of(t.topology)
+                for t in self.tree_collection.trees
+            ]
         self._indexer_reps_cache = (key, reps, refs)
         return reps
 
