@@ -57,8 +57,13 @@ class TPEngine:
         as 0) are skipped so edges keep the 0.1 default -- a zero branch
         makes P(t) the identity and conflicting tips give -inf likelihoods."""
         observed: Dict[int, float] = {}
+        indexer = self.dag.build_edge_indexer()
+        E = self.dag.edge_count()
         for tree in trees:
-            edge_of = self.choice_map._tree_edge_map(tree.topology)
+            if len(observed) == E:
+                break  # take-first: later trees cannot add anything
+            edge_of = self.choice_map._tree_edge_map(tree.topology,
+                                                     indexer)
             for v, e in edge_of.items():
                 if v != tree.topology.root and e not in observed:
                     length = float(tree.branch_lengths[v])

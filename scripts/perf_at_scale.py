@@ -158,6 +158,28 @@ def main():
     host = sum(v for k, v in nni.timer.totals.items()
                if k != "score.device")
     out["host_rebuild_share_pct"] = round(100 * host / warm, 1)
+
+    # FULL GP-NNI iterations at scale (the verdict's decision anchor is
+    # the rebuild share of a whole iteration, not of the scoring pass).
+    nni.set_filter_top_k(1)
+    nni.timer = PhaseTimer()
+    iters = 0
+    t0 = time.perf_counter()
+    while iters < 3 and nni.adjacent_nni_count():
+        if not nni.run_main_loop():
+            break
+        nni.run_post_loop()
+        iters += 1
+    wall = time.perf_counter() - t0
+    ph = {k: round(v, 2) for k, v in nni.timer.totals.items()}
+    rebuild = (nni.timer.totals.get("score.graft_rebuild", 0)
+               + nni.timer.totals.get("accept.dag_rebuild", 0)
+               + nni.timer.totals.get("score.engine_build", 0))
+    out["full_iters"] = iters
+    out["full_iter_s"] = round(wall / max(iters, 1), 2)
+    out["full_iter_phases_s"] = ph
+    out["rebuild_share_of_iteration_pct"] = round(
+        100 * rebuild / max(wall, 1e-9), 1)
     print(json.dumps(out, indent=1))
 
 
